@@ -1,0 +1,142 @@
+"""ABN: fused (synchronized) batch-norm + activation, TPU-native.
+
+Replaces every norm flavour of the reference with one Flax module
+(reference: networks/deeplab_v3.py:71-100 `_init_norm_act` supports
+bn/iabn_sync/iabn/abn/iabr_sync/iabr/abr, backed by the CUDA `inplace_abn`
+extension and a thread-queue SynchronizedBatchNorm, networks/utils.py:116-897):
+
+- ``sync=True`` + an ``axis_name`` gives cross-replica statistics via
+  ``lax.pmean`` over the data mesh axis — the TPU equivalent of
+  InPlaceABNSync's NCCL reduction, emitted as one ICI collective by XLA.
+- ``renorm=True`` gives the batch-renormalization (ABR) variant
+  (reference: networks/utils.py:600-655,658-897) with clamped r/d factors.
+- activation is fused into the same epilogue (XLA fuses scale+shift+leaky-relu
+  into the preceding conv); a Pallas fused kernel for the full
+  stats+normalize+activate HBM pass lives in ops/abn_pallas.py and is used
+  for the inference path.
+
+`momentum` follows torch semantics: running = (1-m)*running + m*batch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+
+def _activate(x: Array, activation: str, param: float) -> Array:
+    if activation == "leaky_relu":
+        return jnp.where(x >= 0, x, x * param)
+    if activation == "relu":
+        return jnp.maximum(x, 0.0)
+    if activation == "elu":
+        return jnp.where(x >= 0, x, param * (jnp.exp(x) - 1.0))
+    if activation == "identity":
+        return x
+    raise ValueError(f"unknown activation {activation!r}")
+
+
+class ABN(nn.Module):
+    """Activated (optionally synchronized / renormalized) batch norm, NHWC."""
+
+    features: int
+    eps: float = 1e-5
+    momentum: float = 0.1  # torch-style update rate
+    activation: str = "leaky_relu"
+    activation_param: float = 0.01
+    axis_name: Optional[str] = None  # pmean stats over this mesh axis if set
+    renorm: bool = False
+    rmax: float = 3.0
+    dmax: float = 5.0
+    dtype: jnp.dtype = jnp.float32  # computation dtype for stats
+
+    @nn.compact
+    def __call__(self, x: Array, use_running_average: bool = False) -> Array:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+
+        out_dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            reduce_axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=reduce_axes)
+            mean_sq = jnp.mean(jnp.square(xf), axis=reduce_axes)
+            if self.axis_name is not None:
+                # cross-replica sync: one fused pmean over (mean, mean_sq)
+                mean, mean_sq = jax.lax.pmean(
+                    (mean, mean_sq), axis_name=self.axis_name
+                )
+            var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * var
+
+        if self.renorm and not use_running_average:
+            # batch renorm: normalize by batch stats, correct toward running
+            # stats with clamped r/d (reference: networks/utils.py:600-655)
+            sigma_b = jnp.sqrt(var + self.eps)
+            sigma_r = jnp.sqrt(ra_var.value + self.eps)
+            r = jax.lax.stop_gradient(
+                jnp.clip(sigma_b / sigma_r, 1.0 / self.rmax, self.rmax)
+            )
+            d = jax.lax.stop_gradient(
+                jnp.clip((mean - ra_mean.value) / sigma_r, -self.dmax, self.dmax)
+            )
+            x_hat = (xf - mean) / sigma_b * r + d
+        else:
+            x_hat = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+
+        y = x_hat * scale + bias
+        y = _activate(y, self.activation, self.activation_param)
+        return y.astype(out_dtype)
+
+
+def make_norm(
+    norm: str,
+    axis_name: Optional[str] = None,
+    momentum: Optional[float] = None,
+) -> "type[nn.Module] | object":
+    """Norm-layer factory mirroring the reference's norm selector strings.
+
+    Returns a partial constructor `f(features) -> nn.Module`
+    (reference: networks/deeplab_v3.py:71-100).  On TPU, all `*_sync`
+    variants map onto the same ABN with an axis name; non-sync variants drop
+    the axis (per-replica stats).
+    """
+    import functools
+
+    cfg: dict = {}
+    if norm == "bn":
+        cfg = dict(activation="relu", activation_param=0.0, momentum=momentum or 0.1)
+        axis = None
+    elif norm in ("iabn_sync", "abn_sync"):
+        cfg = dict(activation="leaky_relu", activation_param=0.01)
+        axis = axis_name
+    elif norm in ("iabn", "abn"):
+        cfg = dict(activation="leaky_relu", activation_param=0.01)
+        axis = None
+    elif norm in ("iabr_sync", "abr_sync"):
+        cfg = dict(activation="leaky_relu", activation_param=0.01, renorm=True)
+        axis = axis_name
+    elif norm in ("iabr", "abr"):
+        cfg = dict(activation="leaky_relu", activation_param=0.01, renorm=True)
+        axis = None
+    else:
+        raise NotImplementedError(f"Selected Norm {norm} is not supported")
+    if momentum is not None:
+        cfg["momentum"] = momentum
+    return functools.partial(ABN, axis_name=axis, **cfg)
