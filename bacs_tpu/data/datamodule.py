@@ -1,0 +1,274 @@
+"""DataModule: CL-aware train/val/test batch streams with device transforms.
+
+Functional equivalent of the reference's LightningDataModule stack
+(reference: dataloaders/base_datamodule.py:22-469): task state, debug/sweep
+subsetting, per-task train loaders, and eval loaders over tasks 0..t with
+"with_prev_tasks" label semantics.  Batches are yielded as device dicts
+{image, label} produced by the fused on-device transform.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterator, List, Optional
+
+import jax
+import numpy as np
+
+from bacs_tpu.data.continual import (
+    ContinualScenario,
+    compute_class_sets,
+    shuffle_class_order,
+)
+from bacs_tpu.data import transforms
+from bacs_tpu.data.datasets import (
+    SyntheticSource,
+    make_ade_source,
+    make_cityscapes_source,
+    make_voc_source,
+)
+
+
+class DataModule:
+    def __init__(
+        self,
+        train_source,
+        val_source,
+        num_classes: int,
+        crop_size: int = 512,
+        batch_size: int = 8,
+        initial_increment: int = 0,
+        increment: int = 0,
+        mode: str = "overlap",
+        shuffle_classes: bool = False,
+        seed: int = 42,
+        debug: bool = False,
+        sweep: bool = False,
+        cache_dir: Optional[str] = None,
+        test_source=None,
+    ):
+        self.train_source = train_source
+        self.val_source = val_source
+        self.test_source = test_source
+        self.num_classes = num_classes
+        self.crop_size = crop_size
+        self.batch_size = batch_size
+        self.debug = debug
+        self.sweep = sweep
+        self.seed = seed
+        self.task_id = 0
+        # continual detection (reference: base_datamodule.py:37-40)
+        self.continual = 0 < initial_increment < num_classes - 1
+        class_order = (
+            shuffle_class_order(num_classes, seed) if shuffle_classes else None
+        )
+        if self.continual:
+            import os
+
+            def _sets(source, tag):
+                cache = (
+                    os.path.join(cache_dir, f"class_sets_{tag}.npz")
+                    if cache_dir
+                    else None
+                )
+                return compute_class_sets(
+                    (lambda i=i: source.load_label(i) for i in range(len(source))),
+                    cache,
+                )
+
+            self.train_scenario = ContinualScenario(
+                _sets(train_source, "train"),
+                initial_increment,
+                increment,
+                num_classes,
+                mode=mode,
+                class_order=class_order,
+            )
+            # eval scenario always uses overlap membership
+            # (reference: base_datamodule.py:278-306 "with_prev_tasks")
+            self.val_scenario = ContinualScenario(
+                _sets(val_source, "val"),
+                initial_increment,
+                increment,
+                num_classes,
+                mode="overlap",
+                class_order=class_order,
+            )
+            self.n_tasks = self.train_scenario.n_tasks
+        else:
+            self.train_scenario = None
+            self.val_scenario = None
+            self.n_tasks = 1
+
+    # ------------------------------------------------------------------
+
+    def set_task_id(self, task_id: int):
+        self.task_id = task_id
+
+    def get_n_classes(self) -> int:
+        return self.num_classes
+
+    @property
+    def class_names(self):
+        return getattr(self.train_source, "class_names", None)
+
+    def n_classes_at(self, task_id: int) -> int:
+        if not self.continual:
+            return self.num_classes
+        return self.train_scenario.n_classes_at(task_id)
+
+    def _subset(self, indices: np.ndarray, rng: np.random.RandomState):
+        """debug → 6 random samples; sweep → 10%
+        (reference: base_datamodule.py:331-339)."""
+        if self.debug:
+            take = min(6, len(indices))
+            return rng.choice(indices, size=take, replace=False)
+        if self.sweep:
+            take = max(1, int(0.1 * len(indices)))
+            return rng.choice(indices, size=take, replace=False)
+        return indices
+
+    def train_indices(self, task_id: Optional[int] = None) -> np.ndarray:
+        t = self.task_id if task_id is None else task_id
+        if self.continual:
+            idx = self.train_scenario.task_indices(t)
+        else:
+            idx = np.arange(len(self.train_source))
+        return self._subset(idx, np.random.RandomState(self.seed + t))
+
+    def steps_per_epoch(self, n_devices: int = 1) -> int:
+        n = len(self.train_indices())
+        global_batch = self.batch_size * n_devices
+        return max(1, n // max(global_batch, 1))
+
+    # ------------------------------------------------------------------
+
+    def _gather(self, source, indices) -> Dict[str, np.ndarray]:
+        imgs, lbls = [], []
+        for i in indices:
+            img, lbl = source.load(int(i))
+            imgs.append(img)
+            lbls.append(lbl)
+        return np.stack(imgs), np.stack(lbls)
+
+    def train_batches(
+        self,
+        epoch: int,
+        n_devices: int = 1,
+        task_id: Optional[int] = None,
+        augment: bool = True,
+    ) -> Iterator[Dict[str, jax.Array]]:
+        """One epoch of device batches for the current task."""
+        t = self.task_id if task_id is None else task_id
+        indices = self.train_indices(t)
+        rng = np.random.RandomState((self.seed, t, epoch).__hash__() % (2**31))
+        perm = rng.permutation(indices)
+        global_batch = self.batch_size * n_devices
+        n_steps = max(1, len(perm) // global_batch) if len(perm) >= global_batch else 1
+        if len(perm) < global_batch:  # tile tiny debug sets to a full batch
+            perm = np.resize(perm, global_batch)
+        table = jax.numpy.asarray(
+            self.train_scenario.label_table(t, train=True)
+            if self.continual
+            else np.concatenate(
+                [np.arange(256)[: self.num_classes],
+                 np.full(256 - self.num_classes, 255)]
+            ).astype(np.int32)
+        )
+        key = jax.random.PRNGKey(rng.randint(2**31))
+        for s in range(n_steps):
+            batch_idx = perm[s * global_batch : (s + 1) * global_batch]
+            imgs, lbls = self._gather(self.train_source, batch_idx)
+            key, sub = jax.random.split(key)
+            if augment:
+                yield transforms.train_transform(
+                    sub, imgs, lbls, table, crop=self.crop_size
+                )
+            else:
+                yield transforms.eval_transform(
+                    imgs, lbls, table, crop=self.crop_size
+                )
+
+    def eval_batches(
+        self,
+        task_id: int,
+        split: str = "val",
+        n_devices: int = 1,
+    ) -> Iterator[Dict[str, jax.Array]]:
+        """Eval batches for ONE task's val subset with labels of tasks 0..t
+        visible (reference: base_datamodule.py:407-431 get_val_test_all)."""
+        source = self.val_source if split == "val" else (
+            self.test_source or self.val_source
+        )
+        if self.continual:
+            scenario = self.val_scenario
+            idx = scenario.task_indices(task_id)
+            table = jax.numpy.asarray(
+                scenario.label_table(self.task_id, train=False)
+            )
+        else:
+            idx = np.arange(len(source))
+            table = jax.numpy.asarray(
+                np.concatenate(
+                    [np.arange(256)[: self.num_classes],
+                     np.full(256 - self.num_classes, 255)]
+                ).astype(np.int32)
+            )
+        idx = self._subset(idx, np.random.RandomState(self.seed + 77 + task_id))
+        global_batch = self.batch_size * n_devices
+        n_steps = math.ceil(len(idx) / global_batch)
+        for s in range(n_steps):
+            batch_idx = idx[s * global_batch : (s + 1) * global_batch]
+            if len(batch_idx) < global_batch:  # pad to static shape
+                batch_idx = np.resize(batch_idx, global_batch)
+            imgs, lbls = self._gather(source, batch_idx)
+            yield transforms.eval_transform(imgs, lbls, table, crop=self.crop_size)
+
+    def eval_task_range(self, up_to_task: int) -> List[int]:
+        """Tasks evaluated after training task t: 0..t
+        (reference: trainer.py:371-383)."""
+        if not self.continual:
+            return [0]
+        return list(range(up_to_task + 1))
+
+
+def create_datamodule(config) -> DataModule:
+    """Build a DataModule from a reference-style config tree
+    (reference `_target_` strings: dataloaders.VocDataModule etc.)."""
+    dcfg = config["dataset"]
+    tcfg = config["training"]
+    target = str(dcfg.get("_target_", "synthetic")).lower().rsplit(".", 1)[-1]
+    inner = dcfg.get("dataset", {})
+    root = inner.get("root", "~/data")
+    num_classes = int(inner.get("num_classes", 21))
+    crop = int(inner.get("crop_size", 512))
+    common = dict(
+        num_classes=num_classes,
+        crop_size=crop,
+        batch_size=int(tcfg.get("batch_size", 8)),
+        initial_increment=int(tcfg.get("initial_increment", 0) or 0),
+        increment=int(tcfg.get("increment", 0) or 0),
+        mode=str(tcfg.get("mode", "overlap")),
+        shuffle_classes=bool(tcfg.get("shuffle_classes", False)),
+        seed=int(tcfg.get("seed", 42)),
+        debug=bool(tcfg.get("debug", False)),
+        sweep=bool(tcfg.get("sweep", False)),
+    )
+    if "voc" in target:
+        train = make_voc_source(root, "train", crop)
+        val = make_voc_source(root, "val", crop)
+        import os
+
+        common["cache_dir"] = os.path.expanduser(os.path.join(root, "cache"))
+    elif "ade" in target:
+        train = make_ade_source(root, "train", crop)
+        val = make_ade_source(root, "val", crop)
+    elif "cityscape" in target:
+        train = make_cityscapes_source(root, "train", crop)
+        val = make_cityscapes_source(root, "val", crop)
+    else:  # synthetic
+        n_train = int(inner.get("n_train", 64))
+        n_val = int(inner.get("n_val", 16))
+        train = SyntheticSource(n_train, crop, num_classes, seed=1)
+        val = SyntheticSource(n_val, crop, num_classes, seed=2)
+    return DataModule(train, val, **common)

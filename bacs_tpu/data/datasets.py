@@ -1,0 +1,207 @@
+"""Dataset sources: VOC / ADE20K / Cityscapes file-backed + synthetic.
+
+Host-side counterpart of the reference's dataset classes
+(reference: dataset/voc.py, dataset/ade20k.py, dataset/cityscape_dataset.py):
+each source exposes `load(i) -> (image uint8 [H,W,3], label uint8 [H,W])` at
+a fixed canonical size — decode/resize is the only host work; all
+augmentation happens on device (data/transforms.py).
+
+Downloads are gated: this environment has no egress, so a missing root
+raises with the same directory layout the reference's downloaders produce
+(reference: dataset/voc.py:92-109, dataloaders/cityscape_datamodule.py:134-166).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+VOC_CLASSES = [
+    "background", "aeroplane", "bicycle", "bird", "boat", "bottle", "bus",
+    "car", "cat", "chair", "cow", "diningtable", "dog", "horse", "motorbike",
+    "person", "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+]
+
+# Cityscapes id → train id (reference: dataset/cityscape_domain_dataset.py:15-51)
+CITYSCAPES_ID_TO_TRAINID = {
+    7: 1, 8: 2, 11: 3, 12: 4, 13: 5, 17: 6, 19: 7, 20: 8, 21: 9, 22: 10,
+    23: 11, 24: 12, 25: 13, 26: 14, 27: 15, 28: 16, 31: 17, 32: 18, 33: 19,
+}
+
+
+def _load_pair(img_path: str, lbl_path: str, size: int):
+    from PIL import Image
+
+    img = Image.open(img_path).convert("RGB").resize((size, size), Image.BILINEAR)
+    lbl = Image.open(lbl_path).resize((size, size), Image.NEAREST)
+    return np.asarray(img, np.uint8), np.asarray(lbl, np.uint8)
+
+
+class FolderSource:
+    """Generic (image, mask) path-list source with optional label remap."""
+
+    def __init__(
+        self,
+        image_paths: Sequence[str],
+        label_paths: Sequence[str],
+        size: int,
+        class_names: Sequence[str],
+        label_remap: Optional[dict] = None,
+        remap_default: int = 255,
+    ):
+        assert len(image_paths) == len(label_paths)
+        self.image_paths = list(image_paths)
+        self.label_paths = list(label_paths)
+        self.size = size
+        self.class_names = list(class_names)
+        self._table = None
+        if label_remap is not None:
+            table = np.full((256,), remap_default, np.uint8)
+            table[0] = 0
+            table[255] = 255
+            for k, v in label_remap.items():
+                table[k] = v
+            self._table = table
+
+    def __len__(self):
+        return len(self.image_paths)
+
+    def load(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        img, lbl = _load_pair(self.image_paths[i], self.label_paths[i], self.size)
+        if self._table is not None:
+            lbl = self._table[lbl]
+        return img, lbl
+
+    def load_label(self, i: int) -> np.ndarray:
+        from PIL import Image
+
+        lbl = np.asarray(Image.open(self.label_paths[i]), np.uint8)
+        if self._table is not None:
+            lbl = self._table[lbl]
+        return lbl
+
+
+class SyntheticSource:
+    """Deterministic synthetic segmentation data for tests and benchmarks.
+
+    Masks contain a background plus 1–4 random class rectangles/disks; images
+    are class-correlated colors + noise, so training actually reduces loss
+    and per-class IoU is meaningful.
+    """
+
+    def __init__(self, n: int, size: int, num_classes: int, seed: int = 0):
+        self.n = n
+        self.size = size
+        self.num_classes = num_classes
+        self.seed = seed
+        self.class_names = ["background"] + [
+            f"class_{i}" for i in range(1, num_classes)
+        ]
+
+    def __len__(self):
+        return self.n
+
+    def _rng(self, i: int) -> np.random.RandomState:
+        return np.random.RandomState(self.seed * 100003 + i)
+
+    def load(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        rng = self._rng(i)
+        s = self.size
+        lbl = np.zeros((s, s), np.uint8)
+        n_obj = rng.randint(1, 5)
+        classes = rng.randint(1, self.num_classes, size=n_obj)
+        for c in classes:
+            cx, cy = rng.randint(0, s, 2)
+            r = rng.randint(s // 8, s // 3)
+            yy, xx = np.ogrid[:s, :s]
+            lbl[(yy - cy) ** 2 + (xx - cx) ** 2 < r * r] = c
+        # class-correlated colors
+        palette = np.stack(
+            [
+                (np.arange(self.num_classes) * 53) % 255,
+                (np.arange(self.num_classes) * 101) % 255,
+                (np.arange(self.num_classes) * 197) % 255,
+            ],
+            axis=1,
+        ).astype(np.float32)
+        img = palette[lbl] + rng.randn(s, s, 3) * 20
+        return np.clip(img, 0, 255).astype(np.uint8), lbl
+
+    def load_label(self, i: int) -> np.ndarray:
+        return self.load(i)[1]
+
+
+def make_voc_source(root: str, split: str, size: int) -> FolderSource:
+    """VOC2012-aug (reference: dataset/voc.py:92-147): SegmentationClassAug
+    masks with train_aug.txt / val list files."""
+    root = os.path.expanduser(root)
+    voc_root = os.path.join(root, "VOCdevkit", "VOC2012")
+    if not os.path.isdir(voc_root):
+        raise FileNotFoundError(
+            f"VOC root {voc_root} not found; download VOC2012 + "
+            "SegmentationClassAug there (no network egress in this env)."
+        )
+    if split == "train":
+        list_file = os.path.join(voc_root, "ImageSets", "Segmentation", "train_aug.txt")
+        mask_dir = os.path.join(voc_root, "SegmentationClassAug")
+        if not os.path.exists(list_file):
+            list_file = os.path.join(voc_root, "ImageSets", "Segmentation", "train.txt")
+            mask_dir = os.path.join(voc_root, "SegmentationClass")
+    else:
+        list_file = os.path.join(voc_root, "ImageSets", "Segmentation", "val.txt")
+        mask_dir = os.path.join(voc_root, "SegmentationClass")
+        if not os.path.isdir(mask_dir):
+            mask_dir = os.path.join(voc_root, "SegmentationClassAug")
+    with open(list_file) as f:
+        names = [line.strip().split()[0] for line in f if line.strip()]
+    names = [os.path.splitext(os.path.basename(n))[0] for n in names]
+    imgs = [os.path.join(voc_root, "JPEGImages", f"{n}.jpg") for n in names]
+    lbls = [os.path.join(mask_dir, f"{n}.png") for n in names]
+    return FolderSource(imgs, lbls, size, VOC_CLASSES)
+
+
+def make_ade_source(root: str, split: str, size: int) -> FolderSource:
+    """ADE20K (reference: dataset/ade20k.py): 150 fg classes + bg = 151."""
+    root = os.path.expanduser(root)
+    base = os.path.join(root, "ADEChallengeData2016")
+    sub = "training" if split == "train" else "validation"
+    img_dir = os.path.join(base, "images", sub)
+    ann_dir = os.path.join(base, "annotations", sub)
+    if not os.path.isdir(img_dir):
+        raise FileNotFoundError(f"ADE20K root {img_dir} not found")
+    names = sorted(os.listdir(img_dir))
+    imgs = [os.path.join(img_dir, n) for n in names]
+    lbls = [
+        os.path.join(ann_dir, os.path.splitext(n)[0] + ".png") for n in names
+    ]
+    class_names = ["background"] + [f"ade_{i}" for i in range(1, 151)]
+    return FolderSource(imgs, lbls, size, class_names)
+
+
+def make_cityscapes_source(root: str, split: str, size: int) -> FolderSource:
+    """Cityscapes (reference: dataset/cityscape_dataset.py): gtFine labelIds
+    remapped id→trainid (20 classes incl. bg)."""
+    root = os.path.expanduser(root)
+    img_base = os.path.join(root, "leftImg8bit", split)
+    ann_base = os.path.join(root, "gtFine", split)
+    if not os.path.isdir(img_base):
+        raise FileNotFoundError(f"Cityscapes root {img_base} not found")
+    imgs: List[str] = []
+    lbls: List[str] = []
+    for city in sorted(os.listdir(img_base)):
+        for name in sorted(os.listdir(os.path.join(img_base, city))):
+            imgs.append(os.path.join(img_base, city, name))
+            lbls.append(
+                os.path.join(
+                    ann_base,
+                    city,
+                    name.replace("leftImg8bit", "gtFine_labelIds"),
+                )
+            )
+    class_names = ["background"] + [f"cs_{i}" for i in range(1, 20)]
+    return FolderSource(
+        imgs, lbls, size, class_names,
+        label_remap=CITYSCAPES_ID_TO_TRAINID, remap_default=0,
+    )

@@ -1,0 +1,300 @@
+"""BACS: prototypes + seen-detector + dark experience replay, all on-device.
+
+Redesign of the reference BACSLoss (reference: loss/bacs_loss.py), extending
+ExperienceReplay with:
+
+- DER (α term): MSE between buffered sem-logits and current sem-logits on
+  replayed images, with per-sample logit "transplant" for channels beyond the
+  class count stored with each slot, and the bg channel refreshed from the
+  current model when `ignore_rep_bg` (reference: bacs_loss.py:387-431).
+- dark++ (β term): weighted CE on a second replayed batch where only old
+  classes carry weight (reference: bacs_loss.py:342-385).
+- teacher feature distillation on background pixels gated by the seen
+  detector (reference: bacs_loss.py:258-294).
+- optional background pseudo-labeling from the frozen previous model
+  (reference: bacs_loss.py:205-210).
+- `end_task` populates the single reservoir with images, pre-upsample
+  sem-logits (padded to the final class width), labels and −loss importance
+  (reference: bacs_loss.py:133-203).
+
+TPU-first: the buffer is HBM-resident; the two replay "dataloaders" of the
+reference (CombinedLoader main/buffer/bufferlogits, bacs_loss.py:96-124)
+become two independent in-graph samples per step — no host round-trip.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bacs_tpu.methods.base import ModelContext, StepAux
+from bacs_tpu.methods.er import ExperienceReplayMethod
+from bacs_tpu.ops.interpolate import resize_bilinear
+from bacs_tpu.ops.losses import cross_entropy
+from bacs_tpu.train import buffer as buffer_lib
+from bacs_tpu.train.state import TrainState
+
+Array = jax.Array
+
+
+def random_autocontrast(rng: Array, x: Array, p: float = 0.5) -> Array:
+    """Batch-level RandomAutocontrast on float images
+    (reference: bacs_loss.py:108-114 torchvision RandomAutocontrast(p=0.5)):
+    per-channel min→0 / max→1 remap, applied with probability p."""
+    lo = jnp.min(x, axis=(1, 2), keepdims=True)
+    hi = jnp.max(x, axis=(1, 2), keepdims=True)
+    stretched = (x - lo) / jnp.maximum(hi - lo, 1e-8)
+    apply = jax.random.bernoulli(rng, p)
+    return jnp.where(apply, stretched, x)
+
+
+class BACSMethod(ExperienceReplayMethod):
+    needs_prev_model = True
+    needs_buffer = True
+
+    def __init__(
+        self,
+        name: str = "BACS",
+        alpha: float = 0.8,
+        beta: float = 0.2,
+        buffer_size: int = 50,
+        replay_minibatch_size: int = 32,
+        dark_plus_plus: bool = True,
+        use_cosine_dist: bool = False,
+        same_task: bool = False,
+        ignore_rep_bg: bool = True,
+        bg_weighted_ce: bool = False,
+        seen_gamma: float = 2.0,
+        seen_threshold: float = 0.5,
+        seen_ukd: bool = True,
+        seen_focal_alpha: Optional[float] = None,
+        lkd: float = 0.25,
+        lkd_alpha: float = 0.2,
+        lkd_threshold: float = 0.5,
+        pseudo_label: bool = False,
+        **kwargs,
+    ):
+        super().__init__(
+            name=name,
+            alpha=alpha,
+            buffer_size=buffer_size,
+            replay_minibatch_size=replay_minibatch_size,
+            bg_weighted_ce=bg_weighted_ce,
+            same_task=same_task,
+            seen_gamma=seen_gamma,
+            seen_threshold=seen_threshold,
+            seen_ukd=seen_ukd,
+            seen_focal_alpha=seen_focal_alpha,
+            **kwargs,
+        )
+        self.beta = beta
+        self.dark_plus_plus = dark_plus_plus
+        self.use_cosine_dist = use_cosine_dist
+        self.ignore_rep_bg = ignore_rep_bg
+        self.lkd = lkd
+        self.lkd_alpha = lkd_alpha
+        self.lkd_threshold = lkd_threshold
+        # pseudo-labeling only when weighted CE is off (reference: :60-61)
+        self.pseudo_label = pseudo_label and not bg_weighted_ce
+
+    # ------------------------------------------------------------------
+
+    def compute_loss(
+        self,
+        ctx: ModelContext,
+        params: Any,
+        state: TrainState,
+        batch: Dict[str, Array],
+        train: bool,
+        rng: Array,
+    ) -> Tuple[Array, StepAux]:
+        task = ctx.task
+        image, mask = batch["image"], batch["label"]
+        use_der = task.task_id > 0
+        rng, r_main, r_replay = jax.random.split(rng, 3)
+
+        if train and self.pseudo_label and state.prev_params is not None:
+            prev_out = ctx.forward_prev(state, image)
+            pseudo = jnp.argmax(
+                prev_out.logits[..., : task.old_classes], axis=-1
+            ).astype(mask.dtype)
+            mask = jnp.where(mask == 0, pseudo, mask)
+
+        need_distill = use_der and train and self.lkd > 0
+        loss, out, old_out, new_bs, seen_prob = self.compute_base_loss(
+            ctx, params, state, image, mask, train, r_main,
+            use_weighted_ce=self.bg_weighted_ce and use_der,
+            need_old_out=need_distill,
+        )
+        if need_distill and old_out is not None:
+            loss = loss + self._teacher_distill(
+                old_out.attentions[-1], out.attentions[-1], seen_prob, mask
+            )
+
+        updates = self.prototype_updates(ctx, state, out.penultimate, mask, train)
+
+        if train and use_der and state.buffer is not None and (
+            self.alpha > 0 or self.beta > 0
+        ):
+            replay_loss, new_bs, rep_updates = self._replay_der_loss(
+                ctx, params, state, new_bs, r_replay, updates
+            )
+            loss = loss + replay_loss
+            updates = rep_updates
+
+        return loss, StepAux(
+            logits=out.logits[..., : ctx.n_cur],
+            batch_stats=new_bs,
+            state_updates=updates,
+            metrics={},
+        )
+
+    # ------------------------------------------------------------------
+
+    def _teacher_distill(self, old_att, new_att, seen_prob, mask):
+        """(reference: bacs_loss.py:258-294 `_teacher_distill`).
+
+        Embeddings (last attention = ASPP output) are bilinearly upsampled to
+        label size, zeroed outside the gated-background mask, squared; the
+        loss is the mean frobenius norm over the width axis of the
+        difference, scaled by lkd.
+        """
+        if self.lkd == 0:
+            return 0.0
+        mask_fg_bg = mask == 0
+        if seen_prob is not None:
+            mask_fg_bg = mask_fg_bg & (
+                jnp.max(seen_prob, axis=-1) > self.lkd_threshold
+            )
+
+        def _norm(emb):
+            emb = resize_bilinear(
+                emb.astype(jnp.float32), mask.shape[1:3], align_corners=False
+            )
+            emb = jnp.where(mask_fg_bg[..., None], emb, 0.0)
+            return jnp.square(emb)
+
+        diff = _norm(old_att) - _norm(new_att)
+        # torch frobenius_norm(dim=-1) on NCHW = norm over the width axis
+        return self.lkd * jnp.mean(jnp.linalg.norm(diff, axis=2))
+
+    # ------------------------------------------------------------------
+
+    def _dark_logits(self, ctx, params, state, batch_stats, rng):
+        """α term (reference: bacs_loss.py:387-431)."""
+        task = ctx.task
+        r_sample, r_aug, r_fwd = jax.random.split(rng, 3)
+        mem = buffer_lib.sample(
+            state.buffer, r_sample, self.replay_minibatch_size
+        )
+        inputs = random_autocontrast(r_aug, mem["images"])
+        out, new_bs = ctx.forward(params, batch_stats, inputs, True, r_fwd)
+        sem = out.sem_logits[..., : ctx.n_cur]
+        mem_logits = mem["logits"][..., : ctx.n_cur]
+        transplant = jax.lax.stop_gradient(sem)
+        # per-sample: channels >= stored class count come from current model
+        ch = jnp.arange(ctx.n_cur)[None, None, None, :]
+        grow_mask = ch >= mem["n_classes"][:, None, None, None]
+        mem_logits = jnp.where(grow_mask, transplant, mem_logits)
+        if self.ignore_rep_bg:
+            mem_logits = mem_logits.at[..., 0].set(transplant[..., 0])
+        if self.use_cosine_dist:
+            a = mem_logits.reshape(mem_logits.shape[0], -1)
+            b = sem.reshape(sem.shape[0], -1)
+            cos = jnp.sum(a * b, -1) / (
+                jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1) + 1e-8
+            )
+            dark = jnp.mean(1.0 - cos)
+        else:
+            dark = jnp.mean(jnp.square(mem_logits - sem))
+        return dark, new_bs, mem
+
+    def _dark_pp(self, ctx, params, state, batch_stats, rng, updates):
+        """β term (reference: bacs_loss.py:342-385)."""
+        task = ctx.task
+        if not self.dark_plus_plus:
+            return 0.0, batch_stats, updates
+        r_sample, r_fwd = jax.random.split(rng)
+        mem = buffer_lib.sample(
+            state.buffer, r_sample, self.replay_minibatch_size
+        )
+        cls_idx = jnp.arange(ctx.n_cur)
+        start = 1 if self.ignore_rep_bg else 0
+        weights = (
+            (cls_idx >= start) & (cls_idx < task.old_classes)
+        ).astype(jnp.float32)
+        loss, rep_out, _, new_bs, _ = self.compute_base_loss(
+            ctx, params, state, mem["images"], mem["labels"], True, r_fwd,
+            task_num=None,
+            class_weights=weights,
+            is_replay=True,
+            batch_stats=batch_stats,
+        )
+        # replay batches also fold into the prototypes
+        # (reference: base_loss.py:219-220 runs for every compute_base_loss)
+        updates = self.prototype_updates(
+            ctx, state, rep_out.penultimate, mem["labels"], True, base=updates
+        )
+        return loss, new_bs, updates
+
+    def _replay_der_loss(self, ctx, params, state, batch_stats, rng, updates):
+        """(reference: bacs_loss.py:433-463)."""
+        r_alpha, r_beta = jax.random.split(rng)
+        total = 0.0
+        if self.alpha != 0:
+            dark, batch_stats, _ = self._dark_logits(
+                ctx, params, state, batch_stats, r_alpha
+            )
+            total = total + self.alpha * dark
+        if self.beta != 0:
+            pp, batch_stats, updates = self._dark_pp(
+                ctx, params, state, batch_stats, r_beta, updates
+            )
+            total = total + self.beta * pp
+        return total, batch_stats, updates
+
+    # ------------------------------------------------------------------
+
+    def end_task(self, state: TrainState, ctx: ModelContext, data: Any):
+        """Populate the single reservoir with this task's data
+        (reference: bacs_loss.py:133-203 `on_train_end`)."""
+        task = ctx.task
+        if state.buffer is None or not (self.alpha > 0 or self.beta > 0):
+            return self._finish_end_task(state, ctx, data)
+
+        @jax.jit
+        def populate(state, rng, image, labels):
+            out, _ = ctx.forward(state.params, state.batch_stats, image, False)
+            logits = out.logits[..., : ctx.n_cur]
+            w = jnp.ones((ctx.n_cur,), jnp.float32).at[0].set(0.0)
+            nll = cross_entropy(
+                logits, labels, self.ignore_index, class_weights=w,
+                reduction="none",
+            )
+            losses = -jnp.mean(nll.reshape(image.shape[0], -1), axis=1)
+            sem = out.sem_logits[..., : ctx.n_cur]
+            pad = task.num_classes - ctx.n_cur
+            sem = jnp.pad(sem, ((0, 0), (0, 0), (0, 0), (0, pad)))
+            buf = buffer_lib.add_batch(
+                state.buffer, rng, image, sem, labels, losses,
+                task_id=task.task_id, n_classes=ctx.n_cur,
+                ignore_index=self.ignore_index,
+            )
+            return state.replace(buffer=buf)
+
+        rng = jax.random.PRNGKey(4321 + task.task_id)
+        for batch in data:
+            rng, sub = jax.random.split(rng)
+            state = populate(state, sub, batch["image"], batch["label"])
+        return self._finish_end_task(state, ctx, data)
+
+    def _finish_end_task(self, state, ctx, data):
+        if self.track_prototypes:
+            state = self._sweep_prototypes(state, ctx, data)
+        state = state.replace(
+            prev_params=jax.tree.map(jnp.copy, state.params),
+            prev_batch_stats=jax.tree.map(jnp.copy, state.batch_stats),
+        )
+        return state

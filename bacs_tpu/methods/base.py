@@ -1,0 +1,381 @@
+"""Method base: shared forward helpers + the BACS-family base loss core.
+
+Functional redesign of the reference's BaseLoss plugin
+(reference: loss/base_loss.py): the mutable lifecycle-hook object becomes a
+stateless `Method` whose `compute_loss` is traced into the train step and
+returns, besides the scalar loss, a dict of train-state field updates
+(prototypes, buffer, ...) that the step applies — replacing in-place mutation
+of loss-object attributes.  Host-level hooks (`begin_task`, `end_task`) run
+jitted passes over loaders at task boundaries.
+
+`ModelContext` is static per task (hashable), so each task compiles once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bacs_tpu.models.base import NetOutput
+from bacs_tpu.ops.interpolate import resize_nearest
+from bacs_tpu.ops.losses import (
+    binary_focal_loss,
+    cross_entropy,
+    weighted_cross_entropy,
+)
+from bacs_tpu.train.state import TaskInfo, TrainState
+
+Array = jax.Array
+
+
+class StepAux(NamedTuple):
+    """What compute_loss returns besides the scalar loss."""
+
+    logits: Array  # [N, H, W, C_active] for predictions/IoU
+    batch_stats: Any  # updated BN statistics
+    state_updates: Dict[str, Any]  # TrainState field updates to apply
+    metrics: Dict[str, Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelContext:
+    """Static bundle: the network module + task info (hashable for jit)."""
+
+    model: Any  # flax module (frozen dataclass → hashable)
+    task: TaskInfo
+    axis_name: Optional[str] = None  # data mesh axis inside shard_map
+
+    # --- forward helpers -------------------------------------------------
+    def forward(
+        self,
+        params: Any,
+        batch_stats: Any,
+        x: Array,
+        train: bool,
+        rng: Optional[Array] = None,
+    ) -> Tuple[NetOutput, Any]:
+        variables = {"params": params, "batch_stats": batch_stats}
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        if train:
+            out, mut = self.model.apply(
+                variables, x, train=True, mutable=["batch_stats"], rngs=rngs
+            )
+            return out, mut["batch_stats"]
+        out = self.model.apply(variables, x, train=False)
+        return out, batch_stats
+
+    def forward_prev(self, state: TrainState, x: Array) -> NetOutput:
+        """Frozen previous-task model, eval mode (reference: freeze_network)."""
+        variables = {
+            "params": state.prev_params,
+            "batch_stats": state.prev_batch_stats,
+        }
+        out = self.model.apply(variables, x, train=False)
+        return jax.tree.map(jax.lax.stop_gradient, out)
+
+    def seen_map_task(
+        self, params, batch_stats, penultimate, prototypes, task_num, stop_grads
+    ) -> Array:
+        return self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            penultimate,
+            prototypes,
+            task_num,
+            stop_grads,
+            method="seen_map_task",
+        )
+
+    def seen_probs(self, params, batch_stats, penultimate, prototypes) -> Array:
+        """Sigmoid seen-probs over all prototypes initialized so far."""
+        n_active = self.task.task_id + 1
+        return self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            penultimate,
+            prototypes,
+            n_active,
+            method="seen_probs",
+        )
+
+    @property
+    def n_cur(self) -> int:
+        return self.task.nb_current_classes
+
+
+def label_task_ids(labels: Array, task: TaskInfo) -> Array:
+    """Map each label to its task index (reference: base_loss.py:98-107)."""
+    if task.increment <= 0:
+        return jnp.zeros_like(labels)
+    t = jnp.rint(
+        (labels.astype(jnp.float32) + 1.0 - task.initial_classes) / task.increment
+    )
+    return jnp.clip(t, 0, task.n_tasks - 1).astype(jnp.int32)
+
+
+def update_task_prototypes(
+    prototypes: Array,
+    counts: Array,
+    penultimate: Array,
+    labels: Array,
+    task: TaskInfo,
+    axis_name: Optional[str] = None,
+) -> Tuple[Array, Array]:
+    """Running-mean per-task foreground prototypes, vectorized.
+
+    Per task t: mean of penultimate features over pixels whose
+    nearest-downsampled label belongs to task t (bg and ignore excluded),
+    folded into a running mean with per-task counts
+    (reference: loss/prototypes.py:127-205).
+    """
+    feats = jax.lax.stop_gradient(penultimate.astype(jnp.float32))
+    n, h, w, d = feats.shape
+    labels_down = resize_nearest(labels, (h, w))
+    valid = (labels_down != 0) & (labels_down != task.ignore_index)
+    tids = label_task_ids(labels_down, task)
+    t_onehot = (
+        jax.nn.one_hot(tids, task.n_tasks, dtype=jnp.float32) * valid[..., None]
+    )
+    sums = jnp.einsum("nhwt,nhwd->td", t_onehot, feats)
+    n_feats = jnp.sum(t_onehot, axis=(0, 1, 2))
+    if axis_name is not None:
+        sums, n_feats = jax.lax.psum((sums, n_feats), axis_name)
+    new_counts = counts + n_feats
+    new_protos = jnp.where(
+        (n_feats > 0)[:, None],
+        (sums + counts[:, None] * prototypes)
+        / jnp.maximum(new_counts, 1.0)[:, None],
+        prototypes,
+    )
+    return new_protos, new_counts
+
+
+def prototypes_ready(state: TrainState, task: TaskInfo) -> Array:
+    """All prototypes up to the current task have seen data
+    (reference: loss/prototypes.py:31-40 checks count_nonzero == len)."""
+    active = state.proto_counts[: task.task_id + 1]
+    return jnp.all(active > 0)
+
+
+class Method:
+    """Base method (= fine-tuning CE core when used directly).
+
+    Flags mirror the reference BaseLoss/__init__ wiring
+    (reference: loss/base_loss.py:10-78, training/trainer.py:242-252).
+    """
+
+    needs_prev_model = False
+    needs_buffer = False
+    needs_class_prototypes = False
+
+    def __init__(
+        self,
+        name: str = "base",
+        ignore_index: int = 255,
+        use_bg_detector: bool = False,
+        track_prototypes: bool = False,
+        seen_gamma: float = 2.0,
+        seen_threshold: float = 0.5,
+        seen_ukd: bool = True,
+        seen_focal_alpha: Optional[float] = None,
+        **_: Any,
+    ):
+        self.name = name
+        self.ignore_index = ignore_index
+        self.use_bg_detector = use_bg_detector
+        self.track_prototypes = track_prototypes or use_bg_detector
+        self.seen_gamma = seen_gamma
+        self.seen_threshold = seen_threshold
+        self.seen_ukd = seen_ukd
+        self.seen_focal_alpha = seen_focal_alpha
+
+    # ------------------------------------------------------------------
+    # device-pure loss
+    # ------------------------------------------------------------------
+
+    def compute_loss(
+        self,
+        ctx: ModelContext,
+        params: Any,
+        state: TrainState,
+        batch: Dict[str, Array],
+        train: bool,
+        rng: Array,
+    ) -> Tuple[Array, StepAux]:
+        loss, out, _, new_bs, _ = self.compute_base_loss(
+            ctx, params, state, batch["image"], batch["label"], train, rng
+        )
+        updates = self.prototype_updates(
+            ctx, state, out.penultimate, batch["label"], train
+        )
+        return loss, StepAux(
+            logits=out.logits[..., : ctx.n_cur],
+            batch_stats=new_bs,
+            state_updates=updates,
+            metrics={},
+        )
+
+    def prototype_updates(
+        self,
+        ctx: ModelContext,
+        state: TrainState,
+        penultimate: Array,
+        labels: Array,
+        train: bool,
+        base: Optional[Dict[str, Any]] = None,
+    ) -> Dict[str, Any]:
+        """Fold a batch into the per-task prototypes (train only)."""
+        updates = dict(base or {})
+        if not (train and self.track_prototypes):
+            return updates
+        protos = updates.get("prototypes", state.prototypes)
+        counts = updates.get("proto_counts", state.proto_counts)
+        protos, counts = update_task_prototypes(
+            protos, counts, penultimate, labels, ctx.task, ctx.axis_name
+        )
+        updates["prototypes"] = protos
+        updates["proto_counts"] = counts
+        return updates
+
+    def compute_base_loss(
+        self,
+        ctx: ModelContext,
+        params: Any,
+        state: TrainState,
+        image: Array,
+        labels: Array,
+        train: bool,
+        rng: Array,
+        task_num: int = -1,
+        class_weights: Optional[Array] = None,
+        use_weighted_ce: bool = False,
+        need_old_out: bool = False,
+        is_replay: bool = False,
+        same_task: bool = False,
+        batch_stats: Any = None,
+    ):
+        """The shared CE(+seen-detector) core
+        (reference: loss/base_loss.py:172-253 `compute_base_loss`).
+
+        Returns (loss, out, old_out, new_batch_stats, seen_prob).
+        """
+        task = ctx.task
+        bs = state.batch_stats if batch_stats is None else batch_stats
+        out, new_bs = ctx.forward(params, bs, image, train, rng)
+        old_out = None
+        if need_old_out and train and state.prev_params is not None:
+            old_out = ctx.forward_prev(state, image)
+
+        logits = out.logits[..., : ctx.n_cur]
+        seen_prob = None
+        if use_weighted_ce and train:
+            seen_prob = jax.lax.stop_gradient(
+                ctx.seen_probs(params, bs, out.penultimate, state.prototypes)
+            )
+            loss = weighted_cross_entropy(
+                logits,
+                labels,
+                seen_prob,
+                old_classes=task.old_classes,
+                gamma=self.seen_gamma,
+                threshold=self.seen_threshold,
+                ukd=self.seen_ukd,
+                ignore_index=self.ignore_index,
+            )
+        else:
+            loss = cross_entropy(
+                logits,
+                labels,
+                ignore_index=self.ignore_index,
+                class_weights=class_weights,
+            )
+
+        # seen/fg detector training (reference: base_loss.py:192-199,241-250):
+        # only on non-replay batches (unless same_task), gated on prototype
+        # readiness, weighted by max(0, 1-exp(epoch - max_epochs)).
+        if train and self.use_bg_detector and (same_task or not is_replay):
+            ready = prototypes_ready(state, task).astype(jnp.float32)
+            t_num = task.task_id if task_num == -1 else task_num
+            seen_logits = ctx.seen_map_task(
+                params,
+                bs,
+                out.penultimate,
+                state.prototypes,
+                t_num,
+                stop_grads=not task.first_task,
+            )
+            fg_target = jnp.where(
+                labels == self.ignore_index,
+                self.ignore_index,
+                (labels != 0).astype(jnp.int32),
+            )
+            seen_loss = binary_focal_loss(
+                seen_logits[..., 0],
+                fg_target,
+                gamma=self.seen_gamma,
+                alpha=self.seen_focal_alpha,
+                ignore_index=self.ignore_index,
+            )
+            # skip batches with no background pixels (reference: 260-262)
+            has_bg = jnp.any(labels == 0).astype(jnp.float32)
+            weight = jnp.maximum(
+                0.0,
+                1.0
+                - jnp.exp(state.epoch.astype(jnp.float32) - float(task.max_epochs)),
+            )
+            loss = loss + weight * ready * has_bg * seen_loss
+
+        return loss, out, old_out, new_bs, seen_prob
+
+    # ------------------------------------------------------------------
+    # host-level task-boundary hooks
+    # ------------------------------------------------------------------
+
+    def begin_task(
+        self, state: TrainState, ctx: ModelContext, data: Any
+    ) -> TrainState:
+        """Called before training task `ctx.task.task_id`
+        (reference: loss_fn.on_train_start, learner/baselearner.py:80-96)."""
+        return state
+
+    def end_task(
+        self, state: TrainState, ctx: ModelContext, data: Any
+    ) -> TrainState:
+        """Called after training a task; `data` iterates the task's train set
+        (reference: loss_fn.on_train_end via learner teardown)."""
+        if self.track_prototypes:
+            state = self._sweep_prototypes(state, ctx, data)
+        if self.needs_prev_model:
+            state = state.replace(
+                prev_params=jax.tree.map(jnp.copy, state.params),
+                prev_batch_stats=jax.tree.map(jnp.copy, state.batch_stats),
+            )
+        return state
+
+    def _sweep_prototypes(
+        self, state: TrainState, ctx: ModelContext, data: Any
+    ) -> TrainState:
+        """If any active prototype is empty, sweep the loader once
+        (reference: loss/prototypes.py:92-125)."""
+        import numpy as np
+
+        active = np.asarray(state.proto_counts[: ctx.task.task_id + 1])
+        if (active > 0).all():
+            return state
+
+        @jax.jit
+        def sweep_batch(state, image, labels):
+            out, _ = ctx.forward(state.params, state.batch_stats, image, False)
+            protos, counts = update_task_prototypes(
+                state.prototypes,
+                state.proto_counts,
+                out.penultimate,
+                labels,
+                ctx.task,
+            )
+            return state.replace(prototypes=protos, proto_counts=counts)
+
+        for batch in data:
+            state = sweep_batch(state, batch["image"], batch["label"])
+        return state

@@ -47,6 +47,7 @@ def create_network(
             norm=norm_factory,
             n_tasks=n_tasks,
             use_bg_detector=use_bg_detector,
+            axis_name=axis_name,
             dtype=dtype,
         )
     if short == "unet":
@@ -57,6 +58,7 @@ def create_network(
             num_layers=kwargs.get("num_layers", 5),
             n_tasks=n_tasks,
             use_bg_detector=use_bg_detector,
+            axis_name=axis_name,
             dtype=dtype,
         )
     if short in ("transeg", "deep_lab_transformer"):
@@ -74,6 +76,7 @@ def create_network(
             dim_feedforward=tr.get("dim_feedforward", 2048),
             n_tasks=n_tasks,
             use_bg_detector=use_bg_detector,
+            axis_name=axis_name,
             dtype=dtype,
         )
     raise ValueError(f"unknown network {name!r}")

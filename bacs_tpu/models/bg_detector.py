@@ -33,6 +33,7 @@ class BgDetector(nn.Module):
     n_tasks: int
     dropout_rate: float = 0.1
     upscale: int = 16
+    axis_name: str | None = None
     dtype: Any = jnp.float32
 
     @property
@@ -48,7 +49,7 @@ class BgDetector(nn.Module):
             dtype=self.dtype,
             name="base_conv",
         )
-        self.base_bn = nn.BatchNorm(momentum=0.9, name="base_bn")
+        self.base_bn = nn.BatchNorm(momentum=0.9, axis_name=self.axis_name, name="base_bn")
         self.dropout = nn.Dropout(self.dropout_rate)
         self.head_kernel = self.param(
             "head_kernel",

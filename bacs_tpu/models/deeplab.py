@@ -82,6 +82,7 @@ class DeepLabV3(nn.Module):
     norm: Callable[..., nn.Module] = ABN
     n_tasks: int = 1  # bg-detector head count when enabled
     use_bg_detector: bool = False
+    axis_name: Optional[str] = None
     dtype: Any = jnp.float32
     out_in_planes: int = 256
 
@@ -106,6 +107,7 @@ class DeepLabV3(nn.Module):
             self.seen_fg_network = BgDetector(
                 in_channels=self.backbone.out_channels,
                 n_tasks=self.n_tasks,
+                axis_name=self.axis_name,
                 dtype=self.dtype,
             )
 

@@ -74,7 +74,7 @@ class ABN(nn.Module):
             reduce_axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axis=reduce_axes)
             mean_sq = jnp.mean(jnp.square(xf), axis=reduce_axes)
-            if self.axis_name is not None:
+            if self.axis_name is not None and not self.is_initializing():
                 # cross-replica sync: one fused pmean over (mean, mean_sq)
                 mean, mean_sq = jax.lax.pmean(
                     (mean, mean_sq), axis_name=self.axis_name

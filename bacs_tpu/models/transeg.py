@@ -123,6 +123,7 @@ class TranSeg(nn.Module):
     dim_feedforward: int = 2048
     n_tasks: int = 1
     use_bg_detector: bool = False
+    axis_name: Any = None
     dtype: Any = jnp.float32
 
     @property
@@ -152,6 +153,7 @@ class TranSeg(nn.Module):
             self.seen_fg_network = BgDetector(
                 in_channels=self.backbone.out_channels,
                 n_tasks=self.n_tasks,
+                axis_name=self.axis_name,
                 dtype=self.dtype,
             )
 

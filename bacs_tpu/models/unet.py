@@ -26,6 +26,7 @@ Array = jax.Array
 class DoubleConv(nn.Module):
     out_channels: int
     mid_channels: int | None = None
+    axis_name: str | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -37,7 +38,8 @@ class DoubleConv(nn.Module):
                 name=f"conv{i + 1}",
             )(x)
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, name=f"bn{i + 1}"
+                use_running_average=not train, momentum=0.9,
+                axis_name=self.axis_name, name=f"bn{i + 1}",
             )(x)
             x = nn.relu(x)
         return x
@@ -50,6 +52,7 @@ class UNet(nn.Module):
     num_layers: int = 5
     n_tasks: int = 1
     use_bg_detector: bool = False
+    axis_name: str | None = None
     dtype: Any = jnp.float32
 
     @property
@@ -68,9 +71,29 @@ class UNet(nn.Module):
     def out_in_planes(self) -> int:
         return 64 // 2 if self.bilinear else 64
 
+    def setup(self):
+        if self.use_bg_detector:
+            # encoder bottom sits at stride 2^(num_layers-1); the detector
+            # upsamples back to input resolution
+            self.seen_fg_network = BgDetector(
+                in_channels=self.encoder_output_dim,
+                n_tasks=self.n_tasks,
+                upscale=2 ** (self.num_layers - 1),
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+            )
+
+    def seen_map_task(self, penultimate, prototypes, task_num, stop_grads):
+        return self.seen_fg_network.seen_map_task(
+            penultimate, prototypes, task_num, stop_grads
+        )
+
+    def seen_probs(self, penultimate, prototypes, n_tasks):
+        return self.seen_fg_network.seen_probs(penultimate, prototypes, n_tasks)
+
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> NetOutput:
-        skips = [DoubleConv(64, dtype=self.dtype, name="inc")(x, train=train)]
+        skips = [DoubleConv(64, axis_name=self.axis_name, dtype=self.dtype, name="inc")(x, train=train)]
         attentions = []
         feat = 64
         # encoder (reference: unet.py:99-111)
@@ -78,7 +101,7 @@ class UNet(nn.Module):
             is_last = i == self.num_layers - 2
             out_ch = feat if (is_last and self.bilinear) else feat * 2
             y = nn.max_pool(skips[-1], (2, 2), strides=(2, 2))
-            y = DoubleConv(out_ch, dtype=self.dtype, name=f"down{i + 1}")(
+            y = DoubleConv(out_ch, axis_name=self.axis_name, dtype=self.dtype, name=f"down{i + 1}")(
                 y, train=train
             )
             skips.append(y)
@@ -106,7 +129,7 @@ class UNet(nn.Module):
                 out_ch = in_feat // 2 if i < self.num_layers - 2 else 64
                 mid = None
             y = jnp.concatenate([skip, y], axis=-1)
-            y = DoubleConv(out_ch, mid, dtype=self.dtype, name=f"up{i + 1}")(
+            y = DoubleConv(out_ch, mid, axis_name=self.axis_name, dtype=self.dtype, name=f"up{i + 1}")(
                 y, train=train
             )
             in_feat //= 2
@@ -116,12 +139,7 @@ class UNet(nn.Module):
         )(y)
         penultimate = encoder_bottom
         if self.use_bg_detector:
-            penultimate = BgDetector(
-                in_channels=self.encoder_output_dim,
-                n_tasks=self.n_tasks,
-                dtype=self.dtype,
-                name="seen_fg_network",
-            ).trunk(encoder_bottom, train=train)
+            penultimate = self.seen_fg_network.trunk(encoder_bottom, train=train)
         return NetOutput(
             logits=sem_logits.astype(jnp.float32),
             sem_logits=sem_logits,

@@ -219,7 +219,9 @@ def weighted_cross_entropy(
         axis=-1,
     )[..., 0]
 
-    return _safe_mean(loss_bg_fg + nll_new, mask)
+    # reference quirk: `.mean()` over ALL pixels — ignored pixels contribute
+    # zero but count in the denominator (loss_utils.py:571-587)
+    return jnp.mean((loss_bg_fg + nll_new) * mask)
 
 
 def icarl_criterion(

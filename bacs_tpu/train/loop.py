@@ -1,0 +1,325 @@
+"""Orchestrator: the outer continual task loop.
+
+Redesign of the reference Trainer (reference: training/trainer.py:57-433):
+instead of building a fresh PyTorch-Lightning Trainer per task with a callback
+web, each task builds a static ModelContext + optimizer and runs jitted
+train/eval steps; all CL state rides the TrainState pytree across tasks.
+
+Per task: learner head surgery → method.begin_task → epochs of train steps →
+method.end_task → eval over tasks 0..t with reference metric keys →
+PerStepResult aggregation; `fit()` returns the final mIoU
+(reference: trainer.py:415-433).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bacs_tpu.data.datamodule import create_datamodule
+from bacs_tpu.methods import create_method
+from bacs_tpu.methods.base import ModelContext
+from bacs_tpu.models import create_network
+from bacs_tpu.train.learner import get_learner
+from bacs_tpu.train.metrics import PerStepResult, detailed_iou_metrics
+from bacs_tpu.train.optim import make_optimizer, make_schedule
+from bacs_tpu.train.state import TaskInfo, TrainState
+from bacs_tpu.train.step import make_steps
+from bacs_tpu.utils.logging import Logger
+
+
+class Trainer:
+    """`Trainer(config).fit()` → final mIoU (reference: trainer.py:57,415)."""
+
+    def __init__(self, config, datamodule=None):
+        self.config = config
+        tcfg = config["training"]
+        self.seed = int(tcfg.get("seed", 42))
+        self.logger = Logger(config)
+        self.datamodule = datamodule or create_datamodule(config)
+        dm = self.datamodule
+        self.continual = dm.continual
+        self.n_tasks = dm.n_tasks
+        self.epochs = int(tcfg.get("epochs", 1))
+        self.next_epochs = int(tcfg.get("next_epochs", self.epochs) or self.epochs)
+        self.accumulate = int(tcfg.get("accumulate_gradients", 1) or 1)
+        self.steps_per_class = tcfg.get("steps_per_class", None)
+        self.mixed_precision = bool(tcfg.get("mixed_precision", False))
+        self.use_bg_detector = bool(tcfg.get("bg_detector", False))
+        self.lr_next = tcfg.get("lr_next", None)
+        self.ignore_index = 255
+
+        # device mesh (reference: CustomDDP/NCCL → jax Mesh over `data`)
+        n_dev = int(tcfg.get("n_devices", tcfg.get("n_gpus", 1)) or 1)
+        avail = len(jax.devices())
+        self.n_devices = min(max(n_dev, 1), avail)
+        if self.n_devices > 1:
+            from jax.sharding import Mesh
+
+            self.mesh = Mesh(
+                np.array(jax.devices()[: self.n_devices]), ("data",)
+            )
+            self.axis_name = "data"
+        else:
+            self.mesh = None
+            self.axis_name = None
+
+        # method (reference loss plugin, trainer.py:242-252)
+        lcfg = dict(config.get("loss", {}))
+        target = lcfg.pop("_target_", "loss.CrossEntropy")
+        lcfg.pop("name", None)
+        self.method = create_method(
+            target,
+            ignore_index=self.ignore_index,
+            use_bg_detector=self.use_bg_detector,
+            track_prototypes=bool(tcfg.get("log_prototypes", False)),
+            **lcfg,
+        )
+        learner_cfg = tcfg.get("learner", {}) or {}
+        learner_target = learner_cfg.get(
+            "_target_", "learner.SingleHeadLearner" if self.continual else
+            "learner.BaseLearner"
+        )
+        self.learner_init = get_learner(learner_target)
+        self.new_token_init = str(tcfg.get("new_token_init", "random"))
+        self.per_step_metric = PerStepResult(self.continual)
+        self.state: Optional[TrainState] = None
+        self._timing = {"images": 0, "seconds": 0.0}
+
+    # ------------------------------------------------------------------
+
+    def _task_info(self, task_id: int) -> TaskInfo:
+        dm = self.datamodule
+        tcfg = self.config["training"]
+        if self.continual:
+            initial = int(tcfg.get("initial_increment", 0)) + 1  # + background
+            inc = int(tcfg.get("increment", 0))
+        else:
+            initial = dm.num_classes
+            inc = 0
+        return TaskInfo(
+            task_id=task_id,
+            initial_classes=initial,
+            increment=inc,
+            num_classes=dm.num_classes,
+            n_tasks=self.n_tasks,
+            max_epochs=self._epochs_for(task_id),
+            ignore_index=self.ignore_index,
+        )
+
+    def _epochs_for(self, task_id: int) -> int:
+        return self.epochs if task_id == 0 else self.next_epochs
+
+    def _make_model(self, task: TaskInfo):
+        ncfg = dict(self.config.get("network", {}))
+        target = ncfg.pop("_target_", "networks.DeepLabV3")
+        dtype = jnp.bfloat16 if self.mixed_precision else jnp.float32
+        return create_network(
+            target,
+            num_classes=task.num_classes,
+            n_tasks=self.n_tasks,
+            use_bg_detector=self.use_bg_detector,
+            active_classes=task.nb_current_classes,
+            norm=str(ncfg.get("norm", "iabn_sync")),
+            axis_name=self.axis_name,
+            crop_size=self.datamodule.crop_size,
+            dtype=dtype,
+            **{
+                k: v
+                for k, v in ncfg.items()
+                if k in ("backbone", "output_stride", "n_channels", "bilinear",
+                         "num_layers", "transformer")
+            },
+        )
+
+    def _max_iters(self, task: TaskInfo) -> int:
+        steps_epoch = self.datamodule.steps_per_epoch(self.n_devices)
+        steps_epoch = -(-steps_epoch // self.accumulate)
+        total = steps_epoch * self._epochs_for(task.task_id)
+        if self.steps_per_class:
+            # ReCall-style budget (reference: trainer.py:322-327)
+            total = min(total, int(self.steps_per_class) * task.nb_new_classes)
+        return max(total, 1)
+
+    def _make_tx(self, task: TaskInfo):
+        ocfg = dict(self.config.get("optimizer", {}))
+        base_lr = float(ocfg.get("lr", 0.01))
+        if task.task_id > 0 and self.lr_next is not None:
+            base_lr = float(self.lr_next)  # (reference: model.py:101-108)
+        schedule = make_schedule(
+            self.config.get("scheduler"), base_lr, self._max_iters(task)
+        )
+        return make_optimizer(
+            ocfg, schedule, grad_clip_value=2.0, accumulate_steps=self.accumulate
+        )
+
+    # ------------------------------------------------------------------
+
+    def _init_state(self, model, tx, task: TaskInfo) -> TrainState:
+        dm = self.datamodule
+        crop = dm.crop_size
+        rng = jax.random.PRNGKey(self.seed)
+        r_param, r_drop, r_state = jax.random.split(rng, 3)
+        dummy = jnp.zeros((1, crop, crop, 3), jnp.float32)
+        variables = model.init(
+            {"params": r_param, "dropout": r_drop}, dummy, train=True
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        # probe sem-logit spatial dims for the buffer allocation
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, dummy, train=False
+        )
+        sem_hw = out.sem_logits.shape[1:3]
+        pen_dim = out.penultimate.shape[-1]
+        buffer = None
+        if self.method.needs_buffer:
+            buffer = self.method.init_buffer(task, (crop, crop), tuple(sem_hw))
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            rng=r_state,
+            prototypes=jnp.zeros((self.n_tasks, pen_dim), jnp.float32),
+            proto_counts=jnp.zeros((self.n_tasks,), jnp.float32),
+            class_prototypes=(
+                jnp.zeros((task.num_classes, pen_dim), jnp.float32)
+                if self.method.needs_class_prototypes
+                else None
+            ),
+            class_proto_counts=(
+                jnp.zeros((task.num_classes,), jnp.float32)
+                if self.method.needs_class_prototypes
+                else None
+            ),
+            buffer=buffer,
+        )
+        n_params = sum(x.size for x in jax.tree.leaves(params))
+        self.logger.info(f"model parameters: {n_params / 1e6:.2f} M")
+        return state
+
+    # ------------------------------------------------------------------
+
+    def _run_task(self, task_id: int) -> List[Dict[str, float]]:
+        dm = self.datamodule
+        dm.set_task_id(task_id)
+        task = self._task_info(task_id)
+        model = self._make_model(task)
+        ctx = ModelContext(model=model, task=task, axis_name=self.axis_name)
+        tx = self._make_tx(task)
+
+        if self.state is None:
+            self.state = self._init_state(model, tx, task)
+        else:
+            # head surgery for the new classes, fresh optimizer/schedule
+            self.state = self.learner_init(self.state, task) if (
+                self.learner_init.__name__ != "transformer_init"
+            ) else self.learner_init(self.state, task, self.new_token_init)
+            self.state = self.state.replace(opt_state=tx.init(self.state.params))
+
+        # needs_prev_model methods get prev set by end_task of previous task
+        self.state = self.method.begin_task(
+            self.state, ctx, dm.train_batches(epoch=0, n_devices=self.n_devices)
+        )
+
+        train_step, eval_step, put_batch = make_steps(
+            ctx, self.method, tx, dm.num_classes, mesh=self.mesh
+        )
+
+        max_iters = self._max_iters(task) * self.accumulate
+        step_count = 0
+        for epoch in range(self._epochs_for(task_id)):
+            self.state = self.state.replace(
+                epoch=jnp.asarray(epoch, jnp.int32)
+            )
+            for batch in dm.train_batches(epoch=epoch, n_devices=self.n_devices):
+                t0 = time.perf_counter()
+                self.state, metrics = train_step(self.state, put_batch(batch))
+                step_count += 1
+                if step_count <= 2 or step_count % 50 == 0:
+                    loss = float(metrics["loss"])
+                    self.logger.info(
+                        f"task {task_id} epoch {epoch} step {step_count} "
+                        f"loss {loss:.4f}"
+                    )
+                else:
+                    # only block on device work when logging; track steady-
+                    # state throughput from step 3 onward
+                    pass
+                if step_count > 2:
+                    jax.block_until_ready(metrics["loss"])
+                    dt = time.perf_counter() - t0
+                    self._timing["images"] += batch["image"].shape[0]
+                    self._timing["seconds"] += dt
+                if step_count >= max_iters:
+                    break
+            if step_count >= max_iters:
+                break
+
+        self.state = self.method.end_task(
+            self.state, ctx, dm.train_batches(epoch=0, n_devices=self.n_devices)
+        )
+        return self._run_test(task_id, ctx, eval_step, put_batch)
+
+    def _run_test(self, task_id, ctx, eval_step, put_batch):
+        """Eval over tasks 0..t (reference: trainer.py:371-383)."""
+        dm = self.datamodule
+        task = ctx.task
+        results: List[Dict[str, float]] = []
+        for d in dm.eval_task_range(task_id):
+            conf = jnp.zeros((dm.num_classes, dm.num_classes), jnp.int32)
+            losses = []
+            for batch in dm.eval_batches(d, n_devices=self.n_devices):
+                conf, loss = eval_step(self.state, conf, put_batch(batch))
+                losses.append(loss)
+            metrics = detailed_iou_metrics(
+                np.asarray(conf),
+                initial_classes=task.initial_classes,
+                nb_current_classes=task.nb_current_classes,
+                class_names=dm.class_names,
+            )
+            prefix = (
+                f"test.{d}/Task {task_id}/" if self.continual else f"test.{d}/"
+            )
+            result = {prefix + k: v for k, v in metrics.items()}
+            result[prefix + "loss"] = float(np.mean([float(l) for l in losses]))
+            self.logger.log_metrics(result)
+            results.append(result)
+        return results
+
+    # ------------------------------------------------------------------
+
+    def fit(self) -> float:
+        """The outer task loop (reference: trainer.py:415-433)."""
+        for task_id in range(self.n_tasks):
+            self.logger.info(
+                f"=== task {task_id + 1}/{self.n_tasks} "
+                f"(classes ≤ {self._task_info(task_id).nb_current_classes}) ==="
+            )
+            results = self._run_task(task_id)
+            self.per_step_metric.update(results)
+        self._log_final_results()
+        return self.per_step_metric.final_miou
+
+    def _log_final_results(self):
+        """(reference: trainer.py:352-369 `_log_final_results`)."""
+        final = self.per_step_metric.compute()
+        for metric, values in final.items():
+            if metric == "Avg-IoU":
+                for d, v in enumerate(np.atleast_1d(values)):
+                    self.logger.log_metrics({f"Final/test.{d}/Avg-IoU": float(v)})
+                continue
+            for d, v in enumerate(values):
+                self.logger.log_metrics({f"Final/test.{d}/{metric}": float(v)})
+
+    @property
+    def throughput(self) -> float:
+        """Steady-state train images/sec (for bench.py)."""
+        if self._timing["seconds"] == 0:
+            return 0.0
+        return self._timing["images"] / self._timing["seconds"]

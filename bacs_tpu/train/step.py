@@ -1,0 +1,138 @@
+"""Jitted train/eval step factories, single-chip or shard_map'ped DP.
+
+Replaces the reference's Lightning Model.step + DDP backward
+(reference: training/model.py:294-374, trainer.py:24-54): one pure function
+carries the whole TrainState; under a `jax.sharding.Mesh` the step is
+shard_map'ped over the `data` axis — gradients, BN statistics and prototype
+sums ride ICI via `lax.pmean/psum` emitted by XLA (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bacs_tpu.methods.base import Method, ModelContext
+from bacs_tpu.ops.confusion import confusion_matrix
+from bacs_tpu.train.state import TrainState
+
+Array = jax.Array
+
+
+def _train_step_impl(
+    ctx: ModelContext,
+    method: Method,
+    tx: optax.GradientTransformation,
+    state: TrainState,
+    batch: Dict[str, Array],
+) -> Tuple[TrainState, Dict[str, Array]]:
+    rng, step_rng = jax.random.split(state.rng)
+    if ctx.axis_name is not None:
+        # decorrelate per-device randomness (dropout, replay sampling)
+        step_rng = jax.random.fold_in(step_rng, jax.lax.axis_index(ctx.axis_name))
+
+    def loss_fn(params):
+        return method.compute_loss(ctx, params, state, batch, True, step_rng)
+
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+    batch_stats = aux.batch_stats
+    if ctx.axis_name is not None:
+        grads = jax.lax.pmean(grads, ctx.axis_name)
+        loss = jax.lax.pmean(loss, ctx.axis_name)
+        # keep running BN stats identical across replicas even for the
+        # non-sync norm variants
+        batch_stats = jax.lax.pmean(batch_stats, ctx.axis_name)
+
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+
+    new_state = state.replace(
+        step=state.step + 1,
+        params=new_params,
+        opt_state=new_opt_state,
+        batch_stats=batch_stats,
+        rng=rng,
+        **aux.state_updates,
+    )
+    metrics = {"loss": loss, **aux.metrics}
+    return new_state, metrics
+
+
+def _eval_step_impl(
+    ctx: ModelContext,
+    method: Method,
+    num_classes: int,
+    state: TrainState,
+    conf_mat: Array,
+    batch: Dict[str, Array],
+) -> Tuple[Array, Array]:
+    loss, aux = method.compute_loss(
+        ctx, state.params, state, batch, False, state.rng
+    )
+    preds = jnp.argmax(aux.logits, axis=-1)
+    cm = confusion_matrix(
+        preds, batch["label"], num_classes, ignore_index=method.ignore_index
+    )
+    if ctx.axis_name is not None:
+        cm = jax.lax.psum(cm, ctx.axis_name)
+        loss = jax.lax.pmean(loss, ctx.axis_name)
+    return conf_mat + cm, loss
+
+
+def make_steps(
+    ctx: ModelContext,
+    method: Method,
+    tx: optax.GradientTransformation,
+    num_classes: int,
+    mesh: Optional[Mesh] = None,
+) -> Tuple[Callable, Callable, Callable]:
+    """Build (train_step, eval_step, put_batch) for one task.
+
+    Without a mesh: plain jit with donated state.
+    With a mesh: shard_map over the `data` axis — state replicated, batch
+    sharded on its leading dim; XLA inserts the ICI collectives.
+    """
+    train_impl = partial(_train_step_impl, ctx, method, tx)
+    eval_impl = partial(_eval_step_impl, ctx, method, num_classes)
+
+    if mesh is None:
+        train_step = jax.jit(train_impl, donate_argnums=(0,))
+        eval_step = jax.jit(eval_impl, donate_argnums=(1,))
+        return train_step, eval_step, lambda batch: batch
+
+    axis = ctx.axis_name or "data"
+    repl = P()
+    shard = P(axis)
+    batch_spec = {"image": shard, "label": shard}
+
+    train_sm = jax.shard_map(
+        train_impl,
+        mesh=mesh,
+        in_specs=(repl, batch_spec),
+        out_specs=(repl, repl),
+        check_vma=False,
+    )
+    eval_sm = jax.shard_map(
+        eval_impl,
+        mesh=mesh,
+        in_specs=(repl, repl, batch_spec),
+        out_specs=(repl, repl),
+        check_vma=False,
+    )
+    train_step = jax.jit(train_sm, donate_argnums=(0,))
+    eval_step = jax.jit(eval_sm, donate_argnums=(1,))
+
+    batch_sharding = NamedSharding(mesh, shard)
+
+    def put_batch(batch: Dict[str, Any]) -> Dict[str, Array]:
+        return {
+            k: jax.device_put(v, batch_sharding) for k, v in batch.items()
+        }
+
+    return train_step, eval_step, put_batch

@@ -1,0 +1,106 @@
+"""Benchmark: DeepLabV3/ResNet-101 train images/sec/chip at 512² (bf16).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline (BASELINE.md): the reference trains BACS on 2× GPU with PL fp16 at
+batch 12, 512².  The driver-set north star is ≥2× A100 images/sec/chip; we
+report measured TPU throughput with vs_baseline = value / A100_REF where
+A100_REF is a published-order-of-magnitude A100 fp16 DeepLabV3+R101 train
+throughput (≈45 img/s/GPU at 512²).
+
+Usage: python bench.py [--smoke]   (--smoke: tiny shapes, CPU-safe)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_REF_IMG_PER_SEC = 45.0  # fp16 DeepLabV3+RN101 512² train, per A100
+
+
+def bench(smoke: bool = False):
+    from bacs_tpu.methods import create_method
+    from bacs_tpu.methods.base import ModelContext
+    from bacs_tpu.models import create_network
+    from bacs_tpu.train.optim import make_optimizer, poly_schedule
+    from bacs_tpu.train.state import TaskInfo, TrainState
+    from bacs_tpu.train.step import make_steps
+
+    if smoke:
+        crop, batch, backbone, steps, dtype = 64, 2, "resnet18", 3, jnp.float32
+    else:
+        crop, batch, backbone, steps, dtype = 512, 16, "resnet101", 20, jnp.bfloat16
+
+    n_classes = 21
+    net = create_network(
+        "deeplab",
+        backbone=backbone,
+        num_classes=n_classes,
+        norm="iabn_sync",
+        axis_name=None,
+        crop_size=crop,
+        dtype=dtype,
+    )
+    task = TaskInfo(
+        task_id=0, initial_classes=n_classes, increment=0,
+        num_classes=n_classes, n_tasks=1, max_epochs=1,
+    )
+    ctx = ModelContext(model=net, task=task, axis_name=None)
+    method = create_method("loss.CrossEntropy")
+    tx = make_optimizer(
+        {"_target_": "torch.optim.SGD", "lr": 0.01, "momentum": 0.9,
+         "nesterov": True, "weight_decay": 1e-4},
+        poly_schedule(0.01, 1000),
+    )
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, crop, crop, 3).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, n_classes, (batch, crop, crop)).astype(np.int32))
+    variables = net.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x[:1], train=True,
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        rng=jax.random.PRNGKey(2),
+        prototypes=jnp.zeros((1, 2048 if backbone == "resnet101" else 512)),
+        proto_counts=jnp.zeros((1,)),
+    )
+    train_step, _, _ = make_steps(ctx, method, tx, n_classes, mesh=None)
+    batch_dict = {"image": x, "label": y}
+
+    # warmup / compile
+    state, metrics = train_step(state, batch_dict)
+    jax.block_until_ready(metrics["loss"])
+    state, metrics = train_step(state, batch_dict)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = train_step(state, batch_dict)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    img_per_sec = steps * batch / dt
+    print(
+        json.dumps(
+            {
+                "metric": "deeplabv3_rn101_train_images_per_sec_per_chip_512",
+                "value": round(img_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_sec / A100_REF_IMG_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    bench(smoke="--smoke" in sys.argv)

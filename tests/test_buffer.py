@@ -1,0 +1,79 @@
+"""HBM reservoir buffer semantics (reference: training/buffer.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bacs_tpu.train import buffer as B
+
+
+def _mk(size=8, hw=4, c=5):
+    return B.init_buffer(size, (hw, hw), (2, 2), c)
+
+
+def _batch(n, hw=4, c=5, seed=0):
+    rng = np.random.RandomState(seed)
+    imgs = rng.rand(n, hw, hw, 3).astype(np.float32)
+    logits = rng.rand(n, 2, 2, c).astype(np.float32)
+    labels = rng.randint(0, 3, (n, hw, hw)).astype(np.int32)
+    losses = rng.rand(n).astype(np.float32)
+    return map(jnp.asarray, (imgs, logits, labels, losses))
+
+
+def test_fills_up_to_capacity_in_order():
+    buf = _mk(size=8)
+    imgs, logits, labels, losses = _batch(5)
+    buf = B.add_batch(buf, jax.random.PRNGKey(0), imgs, logits, labels, losses, 0, 3)
+    assert int(buf.num_seen) == 5
+    assert int(buf.valid.sum()) == 5
+    np.testing.assert_allclose(
+        np.asarray(buf.images[:5, ..., 0], np.float32),
+        np.asarray(imgs[..., 0]),
+        atol=0.01,  # bf16 storage precision
+    )
+
+
+def test_reservoir_keeps_capacity_bounded():
+    buf = _mk(size=4)
+    for seed in range(5):
+        imgs, logits, labels, losses = _batch(4, seed=seed)
+        buf = B.add_batch(
+            buf, jax.random.PRNGKey(seed), imgs, logits, labels, losses, 0, 3
+        )
+    assert int(buf.num_seen) == 20
+    assert int(buf.valid.sum()) == 4  # never exceeds capacity
+
+
+def test_sample_returns_only_valid_slots():
+    buf = _mk(size=8)
+    imgs, logits, labels, losses = _batch(3)
+    buf = B.add_batch(buf, jax.random.PRNGKey(0), imgs, logits, labels, losses, 2, 3)
+    out = B.sample(buf, jax.random.PRNGKey(1), 3)
+    assert set(np.asarray(out["indices"]).tolist()) <= {0, 1, 2}
+    assert np.all(np.asarray(out["n_classes"]) == 3)
+
+
+def test_task_filtered_sampling():
+    buf = _mk(size=8)
+    imgs, logits, labels, losses = _batch(3)
+    buf = B.add_batch(buf, jax.random.PRNGKey(0), imgs, logits, labels, losses, 0, 3)
+    imgs2, logits2, labels2, losses2 = _batch(3, seed=1)
+    buf = B.add_batch(
+        buf, jax.random.PRNGKey(1), imgs2, logits2, labels2, losses2, 1, 4
+    )
+    out = B.sample(buf, jax.random.PRNGKey(2), 2, task_id=jnp.asarray(1))
+    idx = np.asarray(out["indices"])
+    assert np.all(np.asarray(buf.task_ids)[idx] == 1)
+
+
+def test_class_counts_track_label_presence():
+    buf = _mk(size=8)
+    labels = jnp.asarray(
+        np.stack([np.full((4, 4), 1), np.full((4, 4), 2)]).astype(np.int32)
+    )
+    imgs = jnp.zeros((2, 4, 4, 3))
+    logits = jnp.zeros((2, 2, 2, 5))
+    losses = jnp.zeros((2,))
+    buf = B.add_batch(buf, jax.random.PRNGKey(0), imgs, logits, labels, losses, 0, 3)
+    counts = np.asarray(buf.class_counts)
+    assert counts[1] == 1 and counts[2] == 1 and counts[0] == 0

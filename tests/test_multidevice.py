@@ -1,0 +1,129 @@
+"""Multi-device DP tests on a virtual 8-device CPU mesh (SURVEY.md §4).
+
+The reference never tested its DDP path without hardware; here the
+shard_map'ped train step runs on 8 fake devices and must match the
+single-device step bitwise-ish (sync-BN statistics make them equivalent).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from bacs_tpu.methods import CrossEntropyMethod
+from bacs_tpu.methods.base import ModelContext
+from bacs_tpu.models import create_network
+from bacs_tpu.train.optim import make_optimizer, poly_schedule
+from bacs_tpu.train.state import TaskInfo, TrainState
+from bacs_tpu.train.step import make_steps
+
+
+def _setup(axis_name, n_classes=4):
+    net = create_network(
+        "unet", num_classes=n_classes, axis_name=axis_name, crop_size=16,
+        num_layers=3,
+    )
+    x = jnp.zeros((8, 16, 16, 3))
+    variables = net.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=True,
+    )
+    task = TaskInfo(task_id=0, initial_classes=n_classes, increment=0,
+                    num_classes=n_classes, n_tasks=1, max_epochs=1)
+    tx = make_optimizer(
+        {"_target_": "torch.optim.SGD", "lr": 0.1, "momentum": 0.9},
+        poly_schedule(0.1, 10),
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        rng=jax.random.PRNGKey(7),
+        prototypes=jnp.zeros((1, 128)),
+        proto_counts=jnp.zeros((1,)),
+    )
+    return net, task, tx, state
+
+
+def _batch():
+    rng = np.random.RandomState(0)
+    return {
+        "image": jnp.asarray(rng.rand(8, 16, 16, 3).astype(np.float32)),
+        "label": jnp.asarray(rng.randint(0, 4, (8, 16, 16)).astype(np.int32)),
+    }
+
+
+def test_eight_device_step_matches_single_device():
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    batch = _batch()
+    method = CrossEntropyMethod()
+
+    net1, task, tx1, state1 = _setup(axis_name=None)
+    train1, eval1, put1 = make_steps(
+        ModelContext(net1, task, None), method, tx1, 4, mesh=None
+    )
+    state1, metrics1 = train1(state1, batch)
+
+    mesh = Mesh(np.array(devices[:8]), ("data",))
+    net8, task, tx8, state8 = _setup(axis_name="data")
+    train8, eval8, put8 = make_steps(
+        ModelContext(net8, task, "data"), method, tx8, 4, mesh=mesh
+    )
+    state8, metrics8 = train8(state8, put8(batch))
+
+    # sync-BN + pmean grads ⇒ same loss and same updated params
+    np.testing.assert_allclose(
+        float(metrics1["loss"]), float(metrics8["loss"]), rtol=1e-5
+    )
+    l1 = jax.tree.leaves(state1.params)
+    l8 = jax.tree.leaves(state8.params)
+    for a, b in zip(l1, l8):
+        # shard-wise gradient reduction reorders float accumulation; allow
+        # epsilon-level drift
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4
+        )
+
+    # eval parity: confusion matrices identical
+    cm1 = jnp.zeros((4, 4), jnp.int32)
+    cm1, _ = eval1(state1, cm1, batch)
+    cm8 = jnp.zeros((4, 4), jnp.int32)
+    cm8, _ = eval8(state8, cm8, put8(batch))
+    np.testing.assert_array_equal(np.asarray(cm1), np.asarray(cm8))
+
+
+def test_sync_abn_stats_are_cross_replica():
+    """ABN with axis_name must produce identical batch stats on all shards
+    (the iabn_sync replacement, reference deeplab_v3.py:77-80)."""
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from bacs_tpu.models.norm import ABN
+
+    mesh = Mesh(np.array(devices[:8]), ("data",))
+    abn = ABN(features=4, axis_name="data")
+    x = jnp.asarray(np.random.RandomState(0).rand(16, 4, 4, 4), jnp.float32)
+    variables = abn.init(jax.random.PRNGKey(0), x[:2])
+
+    def fwd(v, xs):
+        y, mut = abn.apply(v, xs, use_running_average=False,
+                           mutable=["batch_stats"])
+        return y, mut["batch_stats"]
+
+    from jax.sharding import PartitionSpec as P
+
+    y, stats = jax.jit(
+        jax.shard_map(
+            fwd, mesh=mesh, in_specs=(P(), P("data")), out_specs=(P("data"), P()),
+            check_vma=False,
+        )
+    )(variables, x)
+    # global-batch statistics == computing on the full batch at once
+    mean_global = np.mean(np.asarray(x), axis=(0, 1, 2))
+    np.testing.assert_allclose(
+        np.asarray(stats["mean"]) / 0.1, mean_global, rtol=1e-5
+    )  # momentum 0.1 from zero-init running mean
