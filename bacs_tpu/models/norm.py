@@ -67,6 +67,28 @@ class ABN(nn.Module):
         )
 
         out_dtype = x.dtype
+
+        # Fast path: fused in-place ABN (custom VJP recovers x̂ from the
+        # output — zero extra activation memory; ops/abn_core.py).  Requires
+        # an invertible activation, i.e. leaky_relu with slope > 0.
+        use_fused = (
+            not use_running_average
+            and not self.renorm
+            and self.activation == "leaky_relu"
+            and self.activation_param > 0
+            and not self.is_initializing()
+        )
+        if use_fused:
+            from bacs_tpu.ops.abn_core import fused_abn
+
+            y, mean, var = fused_abn(
+                x, scale, bias, self.eps, self.activation_param, self.axis_name
+            )
+            m = self.momentum
+            ra_mean.value = (1.0 - m) * ra_mean.value + m * jax.lax.stop_gradient(mean)
+            ra_var.value = (1.0 - m) * ra_var.value + m * jax.lax.stop_gradient(var)
+            return y.astype(out_dtype)
+
         xf = x.astype(jnp.float32)
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value

@@ -89,6 +89,14 @@ class Trainer:
         self.per_step_metric = PerStepResult(self.continual)
         self.state: Optional[TrainState] = None
         self._timing = {"images": 0, "seconds": 0.0}
+        # checkpointing (reference: trainer.py:133-179; resume disabled in
+        # debug mode, trainer.py:261)
+        self.ckpt_dir = tcfg.get("ckpt_dir", None)
+        self.resume_enabled = bool(self.ckpt_dir) and not bool(
+            tcfg.get("debug", False)
+        )
+        self.save_checkpoints = bool(self.ckpt_dir)
+        self._resume_epoch = -1
 
     # ------------------------------------------------------------------
 
@@ -215,6 +223,10 @@ class Trainer:
 
         if self.state is None:
             self.state = self._init_state(model, tx, task)
+        elif getattr(self, "_skip_surgery", False):
+            # mid-task resume: heads already initialized, optimizer state
+            # restored from the checkpoint
+            self._skip_surgery = False
         else:
             # head surgery for the new classes, fresh optimizer/schedule
             self.state = self.learner_init(self.state, task) if (
@@ -233,7 +245,9 @@ class Trainer:
 
         max_iters = self._max_iters(task) * self.accumulate
         step_count = 0
-        for epoch in range(self._epochs_for(task_id)):
+        start_epoch = self._resume_epoch + 1
+        self._resume_epoch = -1
+        for epoch in range(start_epoch, self._epochs_for(task_id)):
             self.state = self.state.replace(
                 epoch=jnp.asarray(epoch, jnp.int32)
             )
@@ -258,12 +272,22 @@ class Trainer:
                     self._timing["seconds"] += dt
                 if step_count >= max_iters:
                     break
+            if self.save_checkpoints:
+                from bacs_tpu.utils.checkpoint import save_task_checkpoint
+
+                save_task_checkpoint(
+                    self.ckpt_dir, task_id, self.state, step="last"
+                )
             if step_count >= max_iters:
                 break
 
         self.state = self.method.end_task(
             self.state, ctx, dm.train_batches(epoch=0, n_devices=self.n_devices)
         )
+        if self.save_checkpoints:
+            from bacs_tpu.utils.checkpoint import save_task_checkpoint
+
+            save_task_checkpoint(self.ckpt_dir, task_id, self.state, "final")
         return self._run_test(task_id, ctx, eval_step, put_batch)
 
     def _run_test(self, task_id, ctx, eval_step, put_batch):
@@ -294,9 +318,50 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    def _try_resume(self) -> int:
+        """Restore the newest checkpoint; returns the first task to train
+        (reference: trainer.py:254-268 task-indexed resume)."""
+        if not self.resume_enabled:
+            return 0
+        from bacs_tpu.utils.checkpoint import latest_checkpoint, restore_checkpoint
+
+        found = latest_checkpoint(self.ckpt_dir)
+        if not found:
+            return 0
+        t_ckpt, path = found
+        is_final = path.endswith("final")
+        task = self._task_info(t_ckpt)
+        model = self._make_model(task)
+        tx = self._make_tx(task)
+        template = self._init_state(model, tx, task)
+        if self.method.needs_prev_model and (t_ckpt > 0 or is_final):
+            template = template.replace(
+                prev_params=jax.tree.map(jnp.copy, template.params),
+                prev_batch_stats=jax.tree.map(jnp.copy, template.batch_stats),
+            )
+        try:
+            self.state = restore_checkpoint(path, template)
+        except Exception as e:  # structure drift → start fresh
+            self.logger.info(f"resume failed ({e}); starting fresh")
+            self.state = None
+            return 0
+        if is_final:
+            self.logger.info(f"resumed after completed task {t_ckpt}: {path}")
+            return t_ckpt + 1
+        self._resume_epoch = int(self.state.epoch)
+        self._skip_surgery = True
+        self.logger.info(
+            f"resumed mid-task {t_ckpt} at epoch {self._resume_epoch}: {path}"
+        )
+        return t_ckpt
+
     def fit(self) -> float:
         """The outer task loop (reference: trainer.py:415-433)."""
-        for task_id in range(self.n_tasks):
+        start_task = self._try_resume()
+        # metric keys are task-indexed; resumed runs start aggregating at the
+        # resumed task (earlier tasks' historical metrics lived in the logs)
+        self.per_step_metric.task_id = start_task
+        for task_id in range(start_task, self.n_tasks):
             self.logger.info(
                 f"=== task {task_id + 1}/{self.n_tasks} "
                 f"(classes ≤ {self._task_info(task_id).nb_current_classes}) ==="

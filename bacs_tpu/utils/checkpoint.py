@@ -1,0 +1,70 @@
+"""Checkpoint/resume with orbax: the WHOLE train state, per-task layout.
+
+Closes the reference's resume gap (SURVEY.md §5): PL checkpoints carried only
+module/optimizer state — buffer contents, prev_model and prototypes were lost
+on resume (reference: trainer.py:254-268, bacs_loss.py:147).  Here the entire
+TrainState pytree (including the HBM buffer and frozen prev-model params) is
+saved; the per-task directory layout `<ckpt_dir>/step_<t>/` and newest-
+checkpoint rescan semantics mirror the reference (trainer.py:133-179).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional
+
+import jax
+
+
+def _ckpt_root(ckpt_dir: str) -> str:
+    return os.path.abspath(os.path.expanduser(ckpt_dir))
+
+
+def save_task_checkpoint(ckpt_dir: str, task_id: int, state: Any, step: str = "final"):
+    """Save under `<ckpt_dir>/step_<task_id>/<step>` (reference per-task
+    step_N layout, trainer.py:149-170)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.join(_ckpt_root(ckpt_dir), f"step_{task_id}", str(step))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, jax.tree.map(lambda x: x, state), force=True)
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[tuple[int, str]]:
+    """Newest (task_id, path); 'final' checkpoints of finished tasks win over
+    mid-task saves, mirroring the reference's `[!f]*.ckpt` resume scan."""
+    root = _ckpt_root(ckpt_dir)
+    if not os.path.isdir(root):
+        return None
+    tasks = sorted(
+        (
+            int(m.group(1))
+            for d in os.listdir(root)
+            if (m := re.fullmatch(r"step_(\d+)", d))
+        ),
+        reverse=True,
+    )
+    for t in tasks:
+        step_dir = os.path.join(root, f"step_{t}")
+        steps = sorted(os.listdir(step_dir), reverse=True)
+        for s in steps:
+            return t, os.path.join(step_dir, s)
+    return None
+
+
+def restore_checkpoint(path: str, target: Any) -> Any:
+    """Restore into the abstract structure of `target` (a TrainState)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+        def _as_abstract(x):
+            if hasattr(x, "shape") and hasattr(x, "dtype"):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+            return x
+
+        abstract = jax.tree.map(_as_abstract, target)
+        return ckptr.restore(path, ocp.args.PyTreeRestore(item=abstract))

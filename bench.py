@@ -78,16 +78,17 @@ def bench(smoke: bool = False):
     train_step, _, _ = make_steps(ctx, method, tx, n_classes, mesh=None)
     batch_dict = {"image": x, "label": y}
 
-    # warmup / compile
+    # warmup / compile.  NB: block_until_ready does not reliably wait through
+    # the axon TPU tunnel — force a device→host transfer to sync.
     state, metrics = train_step(state, batch_dict)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     state, metrics = train_step(state, batch_dict)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = train_step(state, batch_dict)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # host transfer = real sync
     dt = time.perf_counter() - t0
     img_per_sec = steps * batch / dt
     print(

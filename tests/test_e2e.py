@@ -1,0 +1,119 @@
+"""Tiny end-to-end Trainer runs (the reference's debug-mode smoke, §4).
+
+Covers the full stack: config → datamodule → task loop → method → metrics.
+Shapes are minimal (24px crops, 3-layer UNet) to keep compile time sane.
+"""
+
+import numpy as np
+import pytest
+
+from bacs_tpu.config.core import Config
+from bacs_tpu.train.loop import Trainer
+
+
+def _config(loss_target, **training_extra):
+    training = {
+        "name": "test",
+        "batch_size": 2,
+        "epochs": 1,
+        "seed": 7,
+        "debug": True,
+        "initial_increment": 2,
+        "increment": 1,
+        "mode": "overlap",
+        "learner": {"_target_": "learner.MultiHeadLearner"},
+    }
+    training.update(training_extra)
+    return Config._wrap(
+        {
+            "dataset": {
+                "_target_": "dataloaders.SyntheticDataModule",
+                "dataset": {
+                    "num_classes": 4,
+                    "crop_size": 24,
+                    "n_train": 12,
+                    "n_val": 4,
+                },
+            },
+            "network": {
+                "_target_": "networks.UNet",
+                "num_layers": 3,
+                "bilinear": True,
+            },
+            "optimizer": {
+                "_target_": "torch.optim.SGD",
+                "lr": 0.05,
+                "momentum": 0.9,
+                "nesterov": True,
+                "weight_decay": 1e-4,
+            },
+            "scheduler": {"_target_": "training.PolyLR", "power": 0.9},
+            "training": training,
+            "loss": dict(loss_target),
+        }
+    )
+
+
+def test_joint_crossentropy_runs():
+    cfg = _config(
+        {"_target_": "loss.CrossEntropy"},
+        initial_increment=0,
+        increment=0,
+        epochs=2,
+    )
+    cfg["training"].pop("learner")
+    miou = Trainer(cfg).fit()
+    assert 0.0 <= miou <= 1.0
+
+
+def test_continual_bacs_full_stack():
+    """BACS with bg detector + buffer across 3 tasks."""
+    cfg = _config(
+        {
+            "_target_": "loss.BACSLoss",
+            "buffer_size": 6,
+            "replay_minibatch_size": 2,
+            "alpha": 0.5,
+            "beta": 0.5,
+        },
+        bg_detector=True,
+    )
+    trainer = Trainer(cfg)
+    miou = trainer.fit()
+    assert 0.0 <= miou <= 1.0
+    assert trainer.n_tasks == 2  # bg + 2 initial fg + 1 increment
+    # buffer was populated at task ends
+    assert int(trainer.state.buffer.valid.sum()) > 0
+    # prev model cached for distillation
+    assert trainer.state.prev_params is not None
+    # prototypes accumulated
+    assert float(np.asarray(trainer.state.proto_counts).sum()) > 0
+
+
+def test_continual_sdr_runs():
+    cfg = _config(
+        {"_target_": "loss.SDR"},
+        learner={"_target_": "learner.SingleHeadLearner"},
+    )
+    trainer = Trainer(cfg)
+    miou = trainer.fit()
+    assert 0.0 <= miou <= 1.0
+    assert trainer.state.class_prototypes is not None
+
+
+def test_continual_er_same_task_partitions():
+    cfg = _config(
+        {
+            "_target_": "loss.ExperienceReplay",
+            "buffer_size": 4,
+            "replay_minibatch_size": 2,
+            "same_task": True,
+        },
+    )
+    trainer = Trainer(cfg)
+    trainer.fit()
+    buf = trainer.state.buffer
+    assert buf.size == 4 * trainer.n_tasks
+    # at least the first two task partitions were populated
+    valid = np.asarray(buf.valid)
+    assert valid[:4].any() and valid[4:8].any()
