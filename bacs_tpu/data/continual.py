@@ -147,3 +147,58 @@ def compute_class_sets(
         os.makedirs(os.path.dirname(cache_path), exist_ok=True)
         np.savez_compressed(cache_path, class_sets=np.array(sets, dtype=object))
     return sets
+
+
+class DomainScenario:
+    """Domain-incremental scenario: tasks are domains (e.g. Cityscapes
+    cities), every task carries the full label space.
+
+    Redesign of the reference CityScapeDomainScenario
+    (reference: dataloaders/cityscape_datamodule.py:270-348): per task,
+    `n_domains_per_task` domains; train/val use an 80/20 shuffle split of
+    each task's merged images (reference: ShuffleSplit per task).
+    """
+
+    def __init__(
+        self,
+        domain_ids,
+        num_classes: int,
+        n_domains_per_task: int = 1,
+        val_fraction: float = 0.2,
+        seed: int = 42,
+    ):
+        self.domain_ids = np.asarray(domain_ids)
+        self.num_classes = num_classes
+        domains = sorted(set(int(d) for d in self.domain_ids))
+        self.domains = domains
+        self.n_tasks = (len(domains) + n_domains_per_task - 1) // n_domains_per_task
+        self.n_per_task = n_domains_per_task
+        self.val_fraction = val_fraction
+        self.seed = seed
+
+    def _task_domains(self, task_id: int):
+        lo = task_id * self.n_per_task
+        return set(self.domains[lo : lo + self.n_per_task])
+
+    def _split(self, task_id: int):
+        doms = self._task_domains(task_id)
+        idx = np.where(np.isin(self.domain_ids, list(doms)))[0]
+        rng = np.random.RandomState(self.seed + task_id)
+        perm = rng.permutation(idx)
+        n_val = max(1, int(len(perm) * self.val_fraction))
+        return perm[n_val:], perm[:n_val]
+
+    def task_indices(self, task_id: int) -> np.ndarray:
+        return self._split(task_id)[0]
+
+    def val_indices(self, task_id: int) -> np.ndarray:
+        return self._split(task_id)[1]
+
+    def label_table(self, task_id: int, train: bool = True) -> np.ndarray:
+        table = np.arange(256, dtype=np.int32)
+        table[self.num_classes : 255] = 0
+        table[255] = 255
+        return table
+
+    def n_classes_at(self, task_id: int) -> int:
+        return self.num_classes

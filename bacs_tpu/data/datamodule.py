@@ -17,6 +17,7 @@ import numpy as np
 
 from bacs_tpu.data.continual import (
     ContinualScenario,
+    DomainScenario,
     compute_class_sets,
     shuffle_class_order,
 )
@@ -46,6 +47,8 @@ class DataModule:
         sweep: bool = False,
         cache_dir: Optional[str] = None,
         test_source=None,
+        domain_ids=None,
+        n_domains_per_task: int = 1,
     ):
         self.train_source = train_source
         self.val_source = val_source
@@ -57,12 +60,23 @@ class DataModule:
         self.sweep = sweep
         self.seed = seed
         self.task_id = 0
+        # domain-incremental mode (reference: cityscape_datamodule.py:270-295)
+        self.domain_shift = domain_ids is not None
         # continual detection (reference: base_datamodule.py:37-40)
-        self.continual = 0 < initial_increment < num_classes - 1
+        self.continual = (
+            0 < initial_increment < num_classes - 1
+        ) or self.domain_shift
         class_order = (
             shuffle_class_order(num_classes, seed) if shuffle_classes else None
         )
-        if self.continual:
+        if self.domain_shift:
+            scenario = DomainScenario(
+                domain_ids, num_classes, n_domains_per_task, seed=seed
+            )
+            self.train_scenario = scenario
+            self.val_scenario = scenario
+            self.n_tasks = scenario.n_tasks
+        elif self.continual:
             import os
 
             def _sets(source, tag):
@@ -200,7 +214,15 @@ class DataModule:
         source = self.val_source if split == "val" else (
             self.test_source or self.val_source
         )
-        if self.continual:
+        if self.domain_shift:
+            # domain tasks validate on their own held-out 20% of the SAME
+            # (merged) source (reference: cityscape_datamodule.py:270-295)
+            source = self.train_source
+            idx = self.val_scenario.val_indices(task_id)
+            table = jax.numpy.asarray(
+                self.val_scenario.label_table(self.task_id, train=False)
+            )
+        elif self.continual:
             scenario = self.val_scenario
             idx = scenario.task_indices(task_id)
             table = jax.numpy.asarray(
@@ -266,9 +288,19 @@ def create_datamodule(config) -> DataModule:
     elif "cityscape" in target:
         train = make_cityscapes_source(root, "train", crop)
         val = make_cityscapes_source(root, "val", crop)
+        n_cities = inner.get("n_cities", None)
+        if n_cities:
+            # domain-shift variant: cities become domains
+            common["domain_ids"] = train.domain_ids
+            common["n_domains_per_task"] = max(
+                1, len(set(train.domain_ids)) // int(n_cities)
+            )
     else:  # synthetic
         n_train = int(inner.get("n_train", 64))
         n_val = int(inner.get("n_val", 16))
         train = SyntheticSource(n_train, crop, num_classes, seed=1)
         val = SyntheticSource(n_val, crop, num_classes, seed=2)
+        n_domains = inner.get("n_domains", None)
+        if n_domains:
+            common["domain_ids"] = [i % int(n_domains) for i in range(n_train)]
     return DataModule(train, val, **common)

@@ -190,9 +190,11 @@ def make_cityscapes_source(root: str, split: str, size: int) -> FolderSource:
         raise FileNotFoundError(f"Cityscapes root {img_base} not found")
     imgs: List[str] = []
     lbls: List[str] = []
-    for city in sorted(os.listdir(img_base)):
+    domain_ids: List[int] = []
+    for ci, city in enumerate(sorted(os.listdir(img_base))):
         for name in sorted(os.listdir(os.path.join(img_base, city))):
             imgs.append(os.path.join(img_base, city, name))
+            domain_ids.append(ci)
             lbls.append(
                 os.path.join(
                     ann_base,
@@ -201,7 +203,9 @@ def make_cityscapes_source(root: str, split: str, size: int) -> FolderSource:
                 )
             )
     class_names = ["background"] + [f"cs_{i}" for i in range(1, 20)]
-    return FolderSource(
+    src = FolderSource(
         imgs, lbls, size, class_names,
         label_remap=CITYSCAPES_ID_TO_TRAINID, remap_default=0,
     )
+    src.domain_ids = domain_ids  # per-image city index (domain-shift mode)
+    return src

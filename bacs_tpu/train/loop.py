@@ -98,12 +98,38 @@ class Trainer:
         self.save_checkpoints = bool(self.ckpt_dir)
         self._resume_epoch = -1
 
+        # observability callbacks (reference: visualization/, trainer.py:203-223)
+        out_dir = str(tcfg.get("media_dir", "media"))
+        self.media = None
+        if bool(tcfg.get("log_images", False)):
+            from bacs_tpu.viz.media import MediaLogger
+
+            self.media = MediaLogger(out_dir)
+        self.proto_logger = None
+        if bool(tcfg.get("log_prototypes", False)):
+            from bacs_tpu.viz.prototypes_viz import PrototypeLogger
+
+            self.proto_logger = PrototypeLogger(out_dir)
+        self.drift = None
+        if bool(tcfg.get("log_drift", False)):
+            from bacs_tpu.viz.drift import DriftProbe
+
+            self.drift = DriftProbe(
+                measure_every=int(tcfg.get("drift_measure_every", 50))
+            )
+        # OOD aux evaluation (reference: trainer.py:120-123,406-411)
+        self.ood_config = config.get("ood", None)
+        # profiling (the reference has none, SURVEY §5 — jax.profiler traces
+        # for the throughput baseline)
+        self.profile_dir = tcfg.get("profile_dir", None)
+
     # ------------------------------------------------------------------
 
     def _task_info(self, task_id: int) -> TaskInfo:
         dm = self.datamodule
         tcfg = self.config["training"]
-        if self.continual:
+        domain = getattr(dm, "domain_shift", False)
+        if self.continual and not domain:
             initial = int(tcfg.get("initial_increment", 0)) + 1  # + background
             inc = int(tcfg.get("increment", 0))
         else:
@@ -117,6 +143,7 @@ class Trainer:
             n_tasks=self.n_tasks,
             max_epochs=self._epochs_for(task_id),
             ignore_index=self.ignore_index,
+            domain_shift=domain,
         )
 
     def _epochs_for(self, task_id: int) -> int:
@@ -243,6 +270,9 @@ class Trainer:
             ctx, self.method, tx, dm.num_classes, mesh=self.mesh
         )
 
+        if self.profile_dir and task_id == 0:
+            jax.profiler.start_trace(str(self.profile_dir))
+
         max_iters = self._max_iters(task) * self.accumulate
         step_count = 0
         start_epoch = self._resume_epoch + 1
@@ -255,6 +285,10 @@ class Trainer:
                 t0 = time.perf_counter()
                 self.state, metrics = train_step(self.state, put_batch(batch))
                 step_count += 1
+                if self.drift is not None and task_id > 0:
+                    d = self.drift.measure(ctx, self.state, step_count)
+                    if d is not None:
+                        self.logger.log_metrics({"representation_drift": d})
                 if step_count <= 2 or step_count % 50 == 0:
                     loss = float(metrics["loss"])
                     self.logger.info(
@@ -281,6 +315,10 @@ class Trainer:
             if step_count >= max_iters:
                 break
 
+        if self.profile_dir and task_id == 0:
+            jax.profiler.stop_trace()
+            self.logger.info(f"profiler trace written to {self.profile_dir}")
+
         self.state = self.method.end_task(
             self.state, ctx, dm.train_batches(epoch=0, n_devices=self.n_devices)
         )
@@ -295,12 +333,21 @@ class Trainer:
         dm = self.datamodule
         task = ctx.task
         results: List[Dict[str, float]] = []
+        first_batch = None
         for d in dm.eval_task_range(task_id):
             conf = jnp.zeros((dm.num_classes, dm.num_classes), jnp.int32)
+            conf_aux = jnp.zeros((2, 2), jnp.int32)
             losses = []
             for batch in dm.eval_batches(d, n_devices=self.n_devices):
-                conf, loss = eval_step(self.state, conf, put_batch(batch))
+                batch = put_batch(batch)
+                if first_batch is None:
+                    first_batch = batch
+                conf, loss = eval_step(self.state, conf, batch)
                 losses.append(loss)
+                if self.use_bg_detector:
+                    from bacs_tpu.train.ood import aux_bg_step
+
+                    conf_aux, _ = aux_bg_step(ctx, self.state, batch, conf_aux)
             metrics = detailed_iou_metrics(
                 np.asarray(conf),
                 initial_classes=task.initial_classes,
@@ -312,9 +359,60 @@ class Trainer:
             )
             result = {prefix + k: v for k, v in metrics.items()}
             result[prefix + "loss"] = float(np.mean([float(l) for l in losses]))
+            if self.use_bg_detector:
+                from bacs_tpu.train.ood import aux_bg_summary
+
+                aux = aux_bg_summary(np.asarray(conf_aux))
+                self.logger.log_metrics(
+                    {f"test.{d}_aux_bg/{k}": v for k, v in aux.items()}
+                )
             self.logger.log_metrics(result)
             results.append(result)
+        self._run_callbacks(task_id, ctx, first_batch)
         return results
+
+    def _run_callbacks(self, task_id, ctx, first_batch):
+        """Media / prototype / drift / OOD passes after each task's test
+        (reference: visualization callbacks + trainer.py:406-411)."""
+        dm = self.datamodule
+        if first_batch is not None and self.media is not None:
+
+            @jax.jit
+            def predict(state, image):
+                out, _ = ctx.forward(state.params, state.batch_stats, image, False)
+                return jnp.argmax(out.logits[..., : ctx.n_cur], axis=-1)
+
+            preds = predict(self.state, first_batch["image"])
+            self.media.append("test", first_batch["image"],
+                              first_batch["label"], preds)
+            path = self.media.flush(task_id)
+            if path:
+                self.logger.info(f"media collage: {path}")
+        if self.proto_logger is not None:
+            collected = self.proto_logger.collect(
+                ctx, self.state, dm.eval_batches(0, n_devices=self.n_devices)
+            )
+            for p in self.proto_logger.plot(ctx, self.state, collected, task_id):
+                self.logger.info(f"prototype plot: {p}")
+        if self.drift is not None and first_batch is not None:
+            self.drift.snapshot(ctx, self.state, first_batch)
+        if self.ood_config is not None and self.use_bg_detector:
+            from bacs_tpu.data.datamodule import create_datamodule
+            from bacs_tpu.train.ood import ood_test
+
+            ood_cfg = {
+                "dataset": self.ood_config,
+                "training": dict(self.config["training"], initial_increment=0,
+                                 increment=0),
+            }
+            ood_dm = create_datamodule(ood_cfg)
+            metrics = ood_test(
+                ctx, self.state,
+                ood_dm.eval_batches(0, n_devices=self.n_devices),
+            )
+            self.logger.log_metrics(
+                {f"test.0_aux_ood/{k}": v for k, v in metrics.items()}
+            )
 
     # ------------------------------------------------------------------
 

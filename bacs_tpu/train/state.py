@@ -62,21 +62,29 @@ class TaskInfo(struct.PyTreeNode):
     n_tasks: int = struct.field(pytree_node=False, default=1)
     max_epochs: int = struct.field(pytree_node=False, default=1)
     ignore_index: int = struct.field(pytree_node=False, default=255)
+    # domain-incremental mode: every task sees all classes
+    # (reference: learner/baselearner.py:60-66 overrides nb_new/old/current
+    # to num_classes for domain shift)
+    domain_shift: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def nb_current_classes(self) -> int:
-        if self.increment == 0:
+        if self.domain_shift or self.increment == 0:
             return self.num_classes
         return self.initial_classes + self.increment * self.task_id
 
     @property
     def old_classes(self) -> int:
+        if self.domain_shift:
+            return self.num_classes
         if self.task_id == 0 or self.increment == 0:
             return 0
         return self.initial_classes + self.increment * (self.task_id - 1)
 
     @property
     def nb_new_classes(self) -> int:
+        if self.domain_shift:
+            return self.num_classes
         if self.task_id == 0 or self.increment == 0:
             return self.nb_current_classes
         return self.increment

@@ -1,0 +1,53 @@
+"""Domain-shift scenario, visualization callbacks, and OOD aux metrics."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from bacs_tpu.data.continual import DomainScenario
+from bacs_tpu.ops.confusion import confusion_matrix
+from bacs_tpu.train.ood import aux_bg_summary
+from bacs_tpu.train.state import TaskInfo
+from bacs_tpu.viz.media import voc_colormap
+
+
+def test_domain_scenario_splits():
+    # 12 images across 3 domains, 1 domain per task
+    domain_ids = [i % 3 for i in range(12)]
+    s = DomainScenario(domain_ids, num_classes=5, n_domains_per_task=1)
+    assert s.n_tasks == 3
+    tr0, v0 = set(s.task_indices(0)), set(s.val_indices(0))
+    # train/val disjoint, all from domain 0
+    assert not (tr0 & v0)
+    assert all(domain_ids[i] == 0 for i in tr0 | v0)
+    # label table is identity for valid classes
+    t = s.label_table(0)
+    assert t[3] == 3 and t[255] == 255 and t[200] == 0
+
+
+def test_domain_taskinfo_class_semantics():
+    """(reference: learner/baselearner.py:60-66 domain override)"""
+    task = TaskInfo(task_id=2, initial_classes=5, increment=0, num_classes=5,
+                    n_tasks=3, domain_shift=True)
+    assert task.nb_current_classes == 5
+    assert task.old_classes == 5
+    assert task.nb_new_classes == 5
+
+
+def test_voc_colormap_reference_values():
+    cmap = voc_colormap()
+    # canonical VOC palette entries
+    np.testing.assert_array_equal(cmap[0], [0, 0, 0])
+    np.testing.assert_array_equal(cmap[1], [128, 0, 0])
+    np.testing.assert_array_equal(cmap[2], [0, 128, 0])
+    np.testing.assert_array_equal(cmap[15], [192, 128, 128])
+
+
+def test_aux_bg_summary_keys():
+    pred = np.array([[0, 1, 1, 0]], np.int32)
+    target = np.array([[0, 1, 0, 0]], np.int32)
+    cm = confusion_matrix(jnp.asarray(pred), jnp.asarray(target), 2)
+    out = aux_bg_summary(np.asarray(cm))
+    assert set(out) == {
+        "IoU-bg", "IoU-not-bg", "mIoU", "Accuracy", "Precision", "Recall"
+    }
+    assert 0 <= out["mIoU"] <= 1
