@@ -177,8 +177,12 @@ class BACSMethod(ExperienceReplayMethod):
             return jnp.square(emb)
 
         diff = _norm(old_att) - _norm(new_att)
-        # torch frobenius_norm(dim=-1) on NCHW = norm over the width axis
-        return self.lkd * jnp.mean(jnp.linalg.norm(diff, axis=2))
+        # torch frobenius_norm(dim=-1) on NCHW = norm over the width axis.
+        # eps guard: fully-masked rows are exactly zero and JAX's norm grad
+        # is NaN at zero (torch special-cases it)
+        return self.lkd * jnp.mean(
+            jnp.sqrt(jnp.sum(jnp.square(diff), axis=2) + 1e-12)
+        )
 
     # ------------------------------------------------------------------
 

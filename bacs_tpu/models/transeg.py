@@ -89,8 +89,8 @@ class TransformerHead(nn.Module):
         )
         p = patch_tokens @ proj_patch
         c = cls_feat @ proj_classes
-        p = p / jnp.linalg.norm(p, axis=-1, keepdims=True)
-        c = c / jnp.linalg.norm(c, axis=-1, keepdims=True)
+        p = p / (jnp.linalg.norm(p, axis=-1, keepdims=True) + 1e-8)
+        c = c / (jnp.linalg.norm(c, axis=-1, keepdims=True) + 1e-8)
         masks = jnp.einsum("bnd,bmd->bnm", p, c)  # [b, hw, n_cls]
 
         # mask_norm: LayerNorm over the ACTIVE class dim with full-size params

@@ -332,7 +332,11 @@ def features_distillation(
         b = jnp.square(b)
         ea = local_pod(a, spp_scales)
         eb = local_pod(b, spp_scales)
-        layer = jnp.mean(jnp.linalg.norm(ea - eb, axis=-1))
+        # sqrt(x+eps): unlike torch, JAX's norm has NaN gradient at exactly
+        # zero (prev==current attentions can match bitwise after cloning)
+        layer = jnp.mean(
+            jnp.sqrt(jnp.sum(jnp.square(ea - eb), axis=-1) + 1e-12)
+        )
         layer = layer * (last_layer_factor if i == n_layers - 1 else pod_factor)
         if use_pod_schedule:
             layer = layer * math.sqrt(nb_current_classes / max(nb_new_classes, 1))

@@ -205,6 +205,20 @@ class Trainer:
         )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        # pretrained backbone (reference: deeplab_v3.py:36-49)
+        import os
+
+        bw_path = self.config.get("network", {}).get("backbone_weights_path")
+        if bw_path and os.path.isfile(os.path.expanduser(str(bw_path))):
+            from bacs_tpu.utils.torch_weights import load_pretrained_backbone
+
+            params, batch_stats, n = load_pretrained_backbone(
+                str(bw_path), {"params": params, "batch_stats": batch_stats}
+            )
+            self.logger.info(f"loaded {n} pretrained backbone tensors from {bw_path}")
+        elif bw_path:
+            self.logger.info(f"backbone weights path {bw_path} not found; "
+                             "training from scratch")
         # probe sem-logit spatial dims for the buffer allocation
         out = model.apply(
             {"params": params, "batch_stats": batch_stats}, dummy, train=False

@@ -1,0 +1,124 @@
+"""Load torch pretrained backbones into the Flax ResNet.
+
+The reference trains from ImageNet-pretrained ResNet-101 weights — either
+torchvision's or PLOP's `resnet101_iabn_sync` release
+(reference: networks/resnet.py:432-488, networks/deeplab_v3.py:36-49
+`backbone_weights_path`).  This converter maps an ABN-style torch state_dict
+(`mod1.conv1.weight`, `mod2.block1.convs.conv1.weight`,
+`...bn1.weight/bias/running_mean/running_var`, `proj_conv/proj_bn`) onto our
+parameter tree (resnet.py module names `mod{k}_block{j}/conv{i}.kernel`).
+
+Conversion rules:
+- conv weight  [out, in, kh, kw]  →  kernel [kh, kw, in, out]
+- ABN/BN weight/bias              →  scale/bias params (|weight| for ABN,
+                                     which stores the scale magnitude)
+- running_mean/var                →  batch_stats mean/var
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def _to_flax_conv(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    ckpt = torch.load(
+        os.path.expanduser(path), map_location="cpu", weights_only=False
+    )
+    if isinstance(ckpt, dict):
+        for key in ("state_dict", "model", "model_state"):
+            if key in ckpt and isinstance(ckpt[key], dict):
+                ckpt = ckpt[key]
+                break
+    out = {}
+    for k, v in ckpt.items():
+        k = k.replace("module.", "")
+        try:
+            out[k] = v.detach().cpu().numpy()
+        except AttributeError:
+            continue
+    return out
+
+
+def load_pretrained_backbone(
+    path: str, variables: Dict[str, Any]
+) -> Tuple[Dict[str, Any], Dict[str, Any], int]:
+    """Returns (params, batch_stats, n_tensors_loaded)."""
+    sd = load_torch_state_dict(path)
+    return _convert(sd, variables["params"], variables.get("batch_stats", {}))
+
+
+def _convert(sd, params, batch_stats):
+    import jax.numpy as jnp
+
+    def clone(t):
+        if isinstance(t, dict):
+            return {k: clone(v) for k, v in t.items()}
+        return t
+
+    params = clone(params)
+    batch_stats = clone(batch_stats)
+    bb_p = params.get("backbone", {})
+    bb_s = batch_stats.get("backbone", {})
+    sd = {re.sub(r"^(body|module)\.", "", k): v for k, v in sd.items()}
+
+    def set_leaf(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            if p not in node:
+                return False
+            node = node[p]
+        leaf = path[-1]
+        if leaf in node and tuple(node[leaf].shape) == tuple(value.shape):
+            node[leaf] = jnp.asarray(value)
+            return True
+        return False
+
+    def set_norm(path, leaf, value):
+        if leaf == "weight":
+            return set_leaf(bb_p, path + ["scale"], np.abs(value))
+        if leaf == "bias":
+            return set_leaf(bb_p, path + ["bias"], value)
+        if leaf == "running_mean":
+            return set_leaf(bb_s, path + ["mean"], value)
+        if leaf == "running_var":
+            return set_leaf(bb_s, path + ["var"], value)
+        return False
+
+    loaded = 0
+    for key, value in sd.items():
+        parts = key.replace(".convs.", ".").split(".")
+        if parts[0] == "mod1":
+            # stem: mod1.conv1.weight, mod1.bn1.*
+            if len(parts) >= 3 and parts[1] == "conv1" and parts[2] == "weight":
+                loaded += set_leaf(bb_p, ["conv1", "kernel"], _to_flax_conv(value))
+            elif len(parts) >= 3 and parts[1] == "bn1":
+                loaded += set_norm(["bn1"], parts[2], value)
+            continue
+        m = re.match(r"mod(\d+)$", parts[0])
+        b = re.match(r"block(\d+)$", parts[1]) if len(parts) > 2 else None
+        if not (m and b):
+            continue
+        mod = f"{parts[0]}_block{b.group(1)}"
+        layer = parts[2]
+        leaf = parts[3] if len(parts) > 3 else None
+        if layer.startswith("conv") and leaf == "weight":
+            loaded += set_leaf(bb_p, [mod, layer, "kernel"], _to_flax_conv(value))
+        elif layer == "proj_conv" and leaf == "weight":
+            loaded += set_leaf(
+                bb_p, [mod, "proj_conv", "kernel"], _to_flax_conv(value)
+            )
+        elif layer.startswith("bn") or layer == "proj_bn":
+            loaded += set_norm([mod, layer], leaf, value)
+    params["backbone"] = bb_p
+    batch_stats["backbone"] = bb_s
+    return params, batch_stats, loaded

@@ -68,6 +68,8 @@ class PrototypeLogger:
 
         # t-SNE of class means + prototypes (log_prototypes.py:119-178)
         pts = np.concatenate([means[present], protos], axis=0)
+        if not np.isfinite(pts).all():
+            return paths  # diverged model — nothing meaningful to embed
         if pts.shape[0] >= 3:
             emb = TSNE(
                 n_components=2, perplexity=min(5, pts.shape[0] - 1), init="random"

@@ -82,6 +82,13 @@ def test_continual_bacs_full_stack():
     miou = trainer.fit()
     assert 0.0 <= miou <= 1.0
     assert trainer.n_tasks == 2  # bg + 2 initial fg + 1 increment
+    # regression: zero-norm teacher-distill gradients once NaN'ed task 1
+    import jax
+    import jax.numpy as jnp
+
+    assert not any(
+        bool(jnp.any(jnp.isnan(x))) for x in jax.tree.leaves(trainer.state.params)
+    )
     # buffer was populated at task ends
     assert int(trainer.state.buffer.valid.sum()) > 0
     # prev model cached for distillation
