@@ -138,11 +138,14 @@ def compute_class_sets(
     if cache_path is not None and os.path.exists(cache_path):
         data = np.load(cache_path, allow_pickle=True)
         return list(data["class_sets"])
+    from bacs_tpu.data import native
+
     sets = []
     for item in label_arrays:
-        arr = item() if callable(item) else item
-        u = np.unique(np.asarray(arr))
-        sets.append(u[(u != 0) & (u != 255)].astype(np.int32))
+        arr = np.asarray(item() if callable(item) else item)
+        presence = native.class_presence(arr[None].astype(np.uint8))[0]
+        ids = np.where(presence)[0]
+        sets.append(ids[(ids != 0) & (ids != 255)].astype(np.int32))
     if cache_path is not None:
         os.makedirs(os.path.dirname(cache_path), exist_ok=True)
         np.savez_compressed(cache_path, class_sets=np.array(sets, dtype=object))

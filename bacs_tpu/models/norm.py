@@ -71,12 +71,15 @@ class ABN(nn.Module):
         # Fast path: fused in-place ABN (custom VJP recovers x̂ from the
         # output — zero extra activation memory; ops/abn_core.py).  Requires
         # an invertible activation, i.e. leaky_relu with slope > 0.
+        import os
+
         use_fused = (
             not use_running_average
             and not self.renorm
             and self.activation == "leaky_relu"
             and self.activation_param > 0
             and not self.is_initializing()
+            and os.environ.get("BACS_FUSED_ABN", "1") != "0"
         )
         if use_fused:
             from bacs_tpu.ops.abn_core import fused_abn
@@ -89,13 +92,15 @@ class ABN(nn.Module):
             ra_var.value = (1.0 - m) * ra_var.value + m * jax.lax.stop_gradient(var)
             return y.astype(out_dtype)
 
-        xf = x.astype(jnp.float32)
+        # reductions accumulate f32; elementwise math stays in x.dtype (an
+        # up-front f32 cast would materialize a 2x activation copy in HBM)
+        xf = x
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             reduce_axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(xf, axis=reduce_axes)
-            mean_sq = jnp.mean(jnp.square(xf), axis=reduce_axes)
+            mean = jnp.mean(x, axis=reduce_axes, dtype=jnp.float32)
+            mean_sq = jnp.mean(jnp.square(x), axis=reduce_axes, dtype=jnp.float32)
             if self.axis_name is not None and not self.is_initializing():
                 # cross-replica sync: one fused pmean over (mean, mean_sq)
                 mean, mean_sq = jax.lax.pmean(
@@ -118,11 +123,13 @@ class ABN(nn.Module):
             d = jax.lax.stop_gradient(
                 jnp.clip((mean - ra_mean.value) / sigma_r, -self.dmax, self.dmax)
             )
-            x_hat = (xf - mean) / sigma_b * r + d
+            a = (r / sigma_b * scale).astype(out_dtype)
+            b = ((d - mean * r / sigma_b) * scale + bias).astype(out_dtype)
         else:
-            x_hat = (xf - mean) * jax.lax.rsqrt(var + self.eps)
-
-        y = x_hat * scale + bias
+            inv = jax.lax.rsqrt(var + self.eps)
+            a = (inv * scale).astype(out_dtype)
+            b = (bias - mean * inv * scale).astype(out_dtype)
+        y = xf * a + b
         y = _activate(y, self.activation, self.activation_param)
         return y.astype(out_dtype)
 

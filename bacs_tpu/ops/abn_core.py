@@ -50,16 +50,27 @@ def fused_abn(
     slope: float = 0.01,
     axis_name: Optional[str] = None,
 ) -> Tuple[Array, Array, Array]:
-    """Training-mode fused ABN → (y, batch_mean, batch_var)."""
-    xf = x.astype(jnp.float32)
+    """Training-mode fused ABN → (y, batch_mean, batch_var).
+
+    Bandwidth note: reductions accumulate in f32 (`dtype=` on the mean) but
+    the elementwise passes stay in the input dtype — casting activations to
+    f32 up front would materialize a 2× copy of every activation tensor in
+    HBM, which measures as +50% step time at 512² (scripts/profile_step.py).
+    Squares in bf16 add unbiased rounding noise that averages out over the
+    ~10⁶ pixels per channel.
+    """
     reduce_axes = tuple(range(x.ndim - 1))
-    mean = jnp.mean(xf, axis=reduce_axes)
-    mean_sq = jnp.mean(jnp.square(xf), axis=reduce_axes)
+    mean = jnp.mean(x, axis=reduce_axes, dtype=jnp.float32)
+    mean_sq = jnp.mean(jnp.square(x), axis=reduce_axes, dtype=jnp.float32)
     if axis_name is not None:
         mean, mean_sq = jax.lax.pmean((mean, mean_sq), axis_name)
     var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
     inv = jax.lax.rsqrt(var + eps)
-    y = _apply(xf, mean, inv, scale, bias, slope).astype(x.dtype)
+    # fold per-channel constants so the apply is one fma + select in bf16
+    a = (inv * scale).astype(x.dtype)
+    b = (bias - mean * inv * scale).astype(x.dtype)
+    y = x * a + b
+    y = jnp.where(y >= 0, y, y * jnp.asarray(slope, x.dtype))
     return y, mean, var
 
 
@@ -77,13 +88,19 @@ def _fused_abn_fwd(x, scale, bias, eps, slope, axis_name):
 def _fused_abn_bwd(eps, slope, axis_name, res, cts):
     y, scale, bias, inv, n = res
     dy, _, _ = cts  # mean/var outputs feed stop-gradient running stats
-    yf = y.astype(jnp.float32)
-    dyf = dy.astype(jnp.float32)
-    x_hat = _invert(yf, scale, bias, slope)
-    da = jnp.where(yf >= 0, dyf, dyf * slope)
+    dtype = y.dtype
+    # recover x̂ from the output, all in the activation dtype (one pass)
+    inv_slope = jnp.asarray(1.0 / slope, dtype)
+    z = jnp.where(y >= 0, y, y * inv_slope)
+    inv_scale = (1.0 / scale).astype(dtype)
+    neg_b = (-bias / scale).astype(dtype)
+    x_hat = z * inv_scale + neg_b
+    da = jnp.where(y >= 0, dy, dy * jnp.asarray(slope, dtype))
     reduce_axes = tuple(range(y.ndim - 1))
-    sum_da = jnp.sum(da, axis=reduce_axes)
-    sum_da_xhat = jnp.sum(da * x_hat, axis=reduce_axes)
+    sum_da = jnp.sum(da, axis=reduce_axes, dtype=jnp.float32)
+    sum_da_xhat = jnp.sum(
+        da * x_hat, axis=reduce_axes, dtype=jnp.float32
+    )
     dbias = sum_da
     dscale = sum_da_xhat
     mean_da, mean_da_xhat = sum_da / n, sum_da_xhat / n
@@ -92,8 +109,11 @@ def _fused_abn_bwd(eps, slope, axis_name, res, cts):
         mean_da, mean_da_xhat = jax.lax.pmean(
             (mean_da, mean_da_xhat), axis_name
         )
-    dx = (scale * inv) * (da - mean_da - x_hat * mean_da_xhat)
-    return dx.astype(y.dtype), dscale, dbias
+    g = (scale * inv).astype(dtype)
+    dx = g * (da - mean_da.astype(dtype)) - (
+        g * mean_da_xhat.astype(dtype)
+    ) * x_hat
+    return dx, dscale, dbias
 
 
 fused_abn.defvjp(_fused_abn_fwd, _fused_abn_bwd)

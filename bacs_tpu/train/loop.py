@@ -283,6 +283,16 @@ class Trainer:
         train_step, eval_step, put_batch = make_steps(
             ctx, self.method, tx, dm.num_classes, mesh=self.mesh
         )
+        # K steps per dispatch amortize host→device call overhead
+        # (~70 ms/dispatch on tunneled runtimes; scripts/profile_step.py)
+        steps_per_dispatch = int(
+            self.config["training"].get("steps_per_dispatch", 1) or 1
+        )
+        multi_step = None
+        if steps_per_dispatch > 1:
+            from bacs_tpu.train.step import make_multi_step
+
+            multi_step = make_multi_step(ctx, self.method, tx, mesh=self.mesh)
 
         if self.profile_dir and task_id == 0:
             jax.profiler.start_trace(str(self.profile_dir))
@@ -291,35 +301,61 @@ class Trainer:
         step_count = 0
         start_epoch = self._resume_epoch + 1
         self._resume_epoch = -1
+        pending: list = []
+
+        def _dispatch_pending():
+            nonlocal pending
+            if not pending:
+                return None
+            stacked = {
+                k: jnp.stack([b[k] for b in pending]) for k in pending[0]
+            }
+            pending = []
+            new_state, m = multi_step(self.state, stacked)
+            self.state = new_state
+            return m
+
         for epoch in range(start_epoch, self._epochs_for(task_id)):
             self.state = self.state.replace(
                 epoch=jnp.asarray(epoch, jnp.int32)
             )
             for batch in dm.train_batches(epoch=epoch, n_devices=self.n_devices):
                 t0 = time.perf_counter()
-                self.state, metrics = train_step(self.state, put_batch(batch))
-                step_count += 1
+                if multi_step is not None:
+                    pending.append(put_batch(batch))
+                    step_count += 1
+                    if len(pending) < steps_per_dispatch:
+                        continue
+                    metrics = _dispatch_pending()
+                else:
+                    self.state, metrics = train_step(self.state, put_batch(batch))
+                    step_count += 1
                 if self.drift is not None and task_id > 0:
                     d = self.drift.measure(ctx, self.state, step_count)
                     if d is not None:
                         self.logger.log_metrics({"representation_drift": d})
-                if step_count <= 2 or step_count % 50 == 0:
+                if metrics is not None and (
+                    step_count <= 2 or step_count % 50 < steps_per_dispatch
+                ):
                     loss = float(metrics["loss"])
                     self.logger.info(
                         f"task {task_id} epoch {epoch} step {step_count} "
                         f"loss {loss:.4f}"
                     )
-                else:
-                    # only block on device work when logging; track steady-
-                    # state throughput from step 3 onward
-                    pass
-                if step_count > 2:
-                    jax.block_until_ready(metrics["loss"])
+                if metrics is not None and step_count > 2:
+                    # force a host sync so throughput numbers are real
+                    float(metrics["loss"])
                     dt = time.perf_counter() - t0
-                    self._timing["images"] += batch["image"].shape[0]
+                    self._timing["images"] += (
+                        batch["image"].shape[0] * steps_per_dispatch
+                        if multi_step is not None
+                        else batch["image"].shape[0]
+                    )
                     self._timing["seconds"] += dt
                 if step_count >= max_iters:
                     break
+            if multi_step is not None and pending:
+                _dispatch_pending()  # flush the epoch's tail batches
             if self.save_checkpoints:
                 from bacs_tpu.utils.checkpoint import save_task_checkpoint
 

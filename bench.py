@@ -26,6 +26,9 @@ A100_REF_IMG_PER_SEC = 45.0  # fp16 DeepLabV3+RN101 512² train, per A100
 
 
 def bench(smoke: bool = False):
+    from bacs_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from bacs_tpu.methods import create_method
     from bacs_tpu.methods.base import ModelContext
     from bacs_tpu.models import create_network

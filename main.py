@@ -31,6 +31,9 @@ def train(config) -> float:
 
 def main(argv=None) -> float:
     args = parse_args(argv if argv is not None else sys.argv[1:])
+    from bacs_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from bacs_tpu.config import load_config
 
     config = load_config(args.config_path, args.config_name, args.overrides)

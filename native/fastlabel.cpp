@@ -1,0 +1,61 @@
+// Fast label-map operations for the host data path.
+//
+// Native counterpart of the reference's per-image class scanning, which runs
+// a multiprocessing.Pool over PIL decodes (reference:
+// dataset/cityscape_dataset.py:110-215 `_filter_images`/`_find_classes`) and
+// the CPU label remapping of TransformLabel (training/utils.py:225-261).
+// Here the scan is a single vectorized pass over raw uint8 label buffers:
+// per-image 256-bit class-presence bitmasks, lookup-table remaps, and
+// per-class pixel counts, exposed via a plain C ABI for ctypes.
+//
+// Build: g++ -O3 -march=native -shared -fPIC fastlabel.cpp -o libfastlabel.so
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Per-image class presence: out[i*256 + c] = 1 iff class c occurs in image i.
+void class_presence(const uint8_t* labels, int64_t n_images,
+                    int64_t pixels_per_image, uint8_t* out) {
+    std::memset(out, 0, static_cast<size_t>(n_images) * 256);
+    for (int64_t i = 0; i < n_images; ++i) {
+        const uint8_t* img = labels + i * pixels_per_image;
+        uint8_t* row = out + i * 256;
+        for (int64_t p = 0; p < pixels_per_image; ++p) {
+            row[img[p]] = 1;
+        }
+    }
+}
+
+// In-place-free lookup-table remap: out[p] = table[labels[p]].
+void remap_labels(const uint8_t* labels, const int32_t* table, int64_t size,
+                  int32_t* out) {
+    for (int64_t p = 0; p < size; ++p) {
+        out[p] = table[labels[p]];
+    }
+}
+
+// Per-class pixel histogram over a batch of label maps.
+void class_histogram(const uint8_t* labels, int64_t size, int64_t* out256) {
+    std::memset(out256, 0, 256 * sizeof(int64_t));
+    for (int64_t p = 0; p < size; ++p) {
+        ++out256[labels[p]];
+    }
+}
+
+// uint8 nearest-neighbour resize of a label map (used to bring decoded
+// masks to the canonical host size without PIL round-trips).
+void resize_nearest_u8(const uint8_t* src, int64_t sh, int64_t sw,
+                       uint8_t* dst, int64_t dh, int64_t dw) {
+    for (int64_t y = 0; y < dh; ++y) {
+        int64_t sy = y * sh / dh;
+        const uint8_t* srow = src + sy * sw;
+        uint8_t* drow = dst + y * dw;
+        for (int64_t x = 0; x < dw; ++x) {
+            drow[x] = srow[x * sw / dw];
+        }
+    }
+}
+
+}  // extern "C"

@@ -14,6 +14,10 @@ import jax  # noqa: E402  (import after env setup)
 # plugin registers regardless); the config update is honored.
 jax.config.update("jax_platforms", "cpu")
 
+from bacs_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
