@@ -241,9 +241,14 @@ class DataModule:
         n_steps = math.ceil(len(idx) / global_batch)
         for s in range(n_steps):
             batch_idx = idx[s * global_batch : (s + 1) * global_batch]
-            if len(batch_idx) < global_batch:  # pad to static shape
+            n_real = len(batch_idx)
+            if n_real < global_batch:  # pad to static shape
                 batch_idx = np.resize(batch_idx, global_batch)
             imgs, lbls = self._gather(source, batch_idx)
+            if n_real < global_batch:
+                # padded duplicates must not count toward metrics
+                lbls = lbls.copy()
+                lbls[n_real:] = 255
             yield transforms.eval_transform(imgs, lbls, table, crop=self.crop_size)
 
     def eval_task_range(self, up_to_task: int) -> List[int]:

@@ -74,6 +74,9 @@ class BACSMethod(ExperienceReplayMethod):
         lkd_alpha: float = 0.2,
         lkd_threshold: float = 0.5,
         pseudo_label: bool = False,
+        mixup: bool = False,
+        mixup_alpha: float = 1.0,
+        mixup_threshold: int = 10,
         **kwargs,
     ):
         super().__init__(
@@ -98,6 +101,9 @@ class BACSMethod(ExperienceReplayMethod):
         self.lkd_threshold = lkd_threshold
         # pseudo-labeling only when weighted CE is off (reference: :60-61)
         self.pseudo_label = pseudo_label and not bg_weighted_ce
+        self.mixup = mixup
+        self.mixup_alpha = mixup_alpha
+        self.mixup_threshold = mixup_threshold
 
     # ------------------------------------------------------------------
 
@@ -220,7 +226,7 @@ class BACSMethod(ExperienceReplayMethod):
         task = ctx.task
         if not self.dark_plus_plus:
             return 0.0, batch_stats, updates
-        r_sample, r_fwd = jax.random.split(rng)
+        r_sample, r_fwd, r_mix = jax.random.split(rng, 3)
         mem = buffer_lib.sample(
             state.buffer, r_sample, self.replay_minibatch_size
         )
@@ -229,6 +235,11 @@ class BACSMethod(ExperienceReplayMethod):
         weights = (
             (cls_idx >= start) & (cls_idx < task.old_classes)
         ).astype(jnp.float32)
+        if self.mixup:
+            return self._dark_pp_mixup(
+                ctx, params, state, batch_stats, r_fwd, r_mix, mem, weights,
+                updates,
+            )
         loss, rep_out, _, new_bs, _ = self.compute_base_loss(
             ctx, params, state, mem["images"], mem["labels"], True, r_fwd,
             task_num=None,
@@ -241,6 +252,52 @@ class BACSMethod(ExperienceReplayMethod):
         updates = self.prototype_updates(
             ctx, state, rep_out.penultimate, mem["labels"], True, base=updates
         )
+        return loss, new_bs, updates
+
+    def _dark_pp_mixup(
+        self, ctx, params, state, batch_stats, r_fwd, r_mix, mem, weights,
+        updates,
+    ):
+        """Co-occurrence mixup replay (reference: buffer.py:275-303
+        `_co_occurance_image_blend` + bacs_loss.py:361-374 lamdas path).
+
+        Partner selection maximizes the pairwise class co-occurrence score
+        (derived from the buffer's label bitmasks instead of a stored map);
+        λ = 0.9 when the merged class count exceeds the threshold, else
+        Beta(α, α); the blended image keeps the reference's literal
+        `λ·a + λ·b` formula.
+        """
+        from bacs_tpu.ops.losses import cross_entropy
+
+        buf = state.buffer
+        valid = buf.valid[:, None]
+        fg_mask = buf.label_mask.at[:, 0].set(False)
+        co = jnp.einsum(
+            "ic,jd->cd",
+            (fg_mask & valid).astype(jnp.float32),
+            (fg_mask & valid).astype(jnp.float32),
+        )
+        sets = fg_mask[mem["indices"]].astype(jnp.float32)  # [B, C]
+        sim = jnp.einsum("ic,cd,jd->ij", sets, co, sets)
+        b = sets.shape[0]
+        sim = jnp.where(jnp.eye(b, dtype=bool), -jnp.inf, sim)
+        partner = jnp.argmax(sim, axis=1)
+        n_merged = jnp.sum(sets, axis=1) + jnp.sum(sets[partner], axis=1)
+        beta = jax.random.beta(r_mix, self.mixup_alpha, self.mixup_alpha, (b,))
+        lam = jnp.where(n_merged > self.mixup_threshold, 0.9, beta)
+        lam4 = lam[:, None, None, None]
+        mixed = lam4 * mem["images"] + lam4 * mem["images"][partner]
+        out, new_bs = ctx.forward(params, batch_stats, mixed, True, r_fwd)
+        logits = out.logits[..., : ctx.n_cur]
+        ce_a = cross_entropy(
+            logits, mem["labels"], self.ignore_index, class_weights=weights,
+            reduction="none",
+        )
+        ce_b = cross_entropy(
+            logits, mem["labels"][partner], self.ignore_index,
+            class_weights=weights, reduction="none",
+        )
+        loss = jnp.mean(lam[:, None, None] * ce_a + (1 - lam)[:, None, None] * ce_b)
         return loss, new_bs, updates
 
     def _replay_der_loss(self, ctx, params, state, batch_stats, rng, updates):

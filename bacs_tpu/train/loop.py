@@ -356,6 +356,15 @@ class Trainer:
                     break
             if multi_step is not None and pending:
                 _dispatch_pending()  # flush the epoch's tail batches
+            # periodic validation on the current (and previous) task's val set
+            # (reference: training.val_every; model.py:385 dual val loaders)
+            val_every = int(self.config["training"].get("val_every", 0) or 0)
+            if (
+                val_every
+                and (epoch + 1) % val_every == 0
+                and epoch + 1 < self._epochs_for(task_id)
+            ):
+                self._run_validation(task_id, ctx, eval_step, put_batch, epoch)
             if self.save_checkpoints:
                 from bacs_tpu.utils.checkpoint import save_task_checkpoint
 
@@ -377,6 +386,33 @@ class Trainer:
 
             save_task_checkpoint(self.ckpt_dir, task_id, self.state, "final")
         return self._run_test(task_id, ctx, eval_step, put_batch)
+
+    def _run_validation(self, task_id, ctx, eval_step, put_batch, epoch):
+        """Mid-training val pass: current task (+ previous task as `prev`)
+        (reference: Model.validation_step, training/model.py:385-424)."""
+        dm = self.datamodule
+        task = ctx.task
+        targets = [("val", task_id)]
+        if self.continual and task_id > 0:
+            targets.append(("prev", task_id - 1))
+        for prefix, t in targets:
+            conf = jnp.zeros((dm.num_classes, dm.num_classes), jnp.int32)
+            losses = []
+            for batch in dm.eval_batches(t, n_devices=self.n_devices):
+                conf, loss = eval_step(self.state, conf, put_batch(batch))
+                losses.append(float(loss))
+            metrics = detailed_iou_metrics(
+                np.asarray(conf),
+                initial_classes=task.initial_classes,
+                nb_current_classes=task.nb_current_classes,
+            )
+            self.logger.log_metrics(
+                {
+                    f"{prefix}/mIoU": metrics["mIoU"],
+                    f"{prefix}/loss": float(np.mean(losses)),
+                    f"{prefix}/epoch": epoch,
+                }
+            )
 
     def _run_test(self, task_id, ctx, eval_step, put_batch):
         """Eval over tasks 0..t (reference: trainer.py:371-383)."""

@@ -124,3 +124,46 @@ def test_continual_er_same_task_partitions():
     # at least the first two task partitions were populated
     valid = np.asarray(buf.valid)
     assert valid[:4].any() and valid[4:8].any()
+
+
+def test_continual_transeg_with_transformer_learner():
+    """TranSeg class-token growth through the full Trainer."""
+    cfg = _config(
+        {"_target_": "loss.MiB"},
+        learner={"_target_": "learner.TransformerLearner"},
+        new_token_init="mean",
+    )
+    cfg["network"] = Config._wrap(
+        {
+            "_target_": "networks.TranSeg",
+            "backbone": "resnet18",
+            "transformer": {
+                "hidden_dim": 32,
+                "nhead": 2,
+                "num_decoder_layers": 1,
+                "dim_feedforward": 64,
+            },
+        }
+    )
+    # crop must be divisible by 16 for the patch grid
+    cfg["dataset"]["dataset"]["crop_size"] = 32
+    trainer = Trainer(cfg)
+    miou = trainer.fit()
+    assert 0.0 <= miou <= 1.0
+    tokens = trainer.state.params["base_classifier"]["class_tokens"]
+    assert tokens.shape[0] == 4  # full allocation
+
+
+def test_bacs_mixup_path_runs():
+    cfg = _config(
+        {
+            "_target_": "loss.BACSLoss",
+            "buffer_size": 6,
+            "replay_minibatch_size": 2,
+            "alpha": 0.5,
+            "beta": 0.5,
+            "mixup": True,
+        },
+    )
+    miou = Trainer(cfg).fit()
+    assert 0.0 <= miou <= 1.0
