@@ -38,7 +38,14 @@ def create_network(
     short names ("deeplab", "unet", "transeg").
     """
     short = name.rsplit(".", 1)[-1].lower()
-    norm_factory = make_norm(norm, axis_name=axis_name)
+    # SDR-style atrous encoder: output stride 8 with plain sync-BN momentum
+    # 3e-4 (reference: networks/resnet_atrous.py:31,129; deeplab_v3.py:72-75)
+    if kwargs.get("atrous_encoder"):
+        kwargs["output_stride"] = 8
+        norm = "bn"
+        norm_factory = make_norm(norm, axis_name=axis_name, momentum=3e-4)
+    else:
+        norm_factory = make_norm(norm, axis_name=axis_name)
     if short in ("deeplabv3", "deeplab", "deep_lab"):
         return DeepLabV3(
             num_classes=num_classes,

@@ -97,6 +97,18 @@ def make_schedule(
     if short in ("exponentiallr", "exponential"):
         gamma = float(scheduler_cfg.get("gamma", 0.9))
         return lambda step: base_lr * gamma ** (step / jnp.maximum(max_iters, 1))
+    if short in ("cycliclr", "cyclic"):
+        # triangular cyclic LR (torch CyclicLR default mode)
+        base = float(scheduler_cfg.get("base_lr", base_lr * 0.1))
+        max_lr = float(scheduler_cfg.get("max_lr", base_lr))
+        step_size = float(scheduler_cfg.get("step_size_up", max(max_iters // 4, 1)))
+
+        def cyclic(step):
+            cycle = jnp.floor(1 + step / (2 * step_size))
+            frac = jnp.abs(step / step_size - 2 * cycle + 1)
+            return base + (max_lr - base) * jnp.maximum(0.0, 1.0 - frac)
+
+        return cyclic
     raise ValueError(f"unknown scheduler {target!r}")
 
 

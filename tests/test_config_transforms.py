@@ -1,0 +1,77 @@
+"""Config loader (hydra-compat) and device transform tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bacs_tpu.config import load_config
+from bacs_tpu.data import transforms
+
+
+def test_load_config_defaults_and_overrides():
+    cfg = load_config("conf/continual_debug", "config", [])
+    assert cfg.loss._target_ == "loss.CrossEntropy"
+    assert cfg.training.initial_increment == 3
+    assert cfg.dataset.dataset.num_classes == 6
+
+
+def test_override_grammar():
+    cfg = load_config(
+        "conf/continual_debug",
+        "config",
+        [
+            "loss=mib",  # group swap
+            "training.batch_size=8",  # dotted set
+            "+training.steps_per_class=50",  # add
+            "training.mode=disjoint",
+        ],
+    )
+    assert cfg.loss._target_ == "loss.MiB"
+    assert cfg.training.batch_size == 8
+    assert cfg.training.steps_per_class == 50
+    assert cfg.training.mode == "disjoint"
+
+
+def test_override_unknown_key_rejected():
+    with pytest.raises(KeyError):
+        load_config("conf/continual_debug", "config", ["training.nope=1"])
+
+
+def test_train_transform_shapes_and_remap():
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, (2, 48, 48, 3)).astype(np.uint8)
+    lbls = np.full((2, 48, 48), 3, np.uint8)
+    lbls[:, :10] = 255
+    table = np.zeros(256, np.int32)
+    table[3] = 1  # remap class 3 → 1
+    table[255] = 255
+    out = transforms.train_transform(
+        jax.random.PRNGKey(0), jnp.asarray(imgs), jnp.asarray(lbls),
+        jnp.asarray(table), crop=32,
+    )
+    assert out["image"].shape == (2, 32, 32, 3)
+    assert out["label"].shape == (2, 32, 32)
+    u = np.unique(np.asarray(out["label"]))
+    assert set(u.tolist()) <= {1, 255}
+
+
+def test_eval_transform_is_deterministic():
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, (1, 32, 32, 3)).astype(np.uint8)
+    lbls = rng.randint(0, 4, (1, 32, 32)).astype(np.uint8)
+    table = np.arange(256, dtype=np.int32)
+    a = transforms.eval_transform(jnp.asarray(imgs), jnp.asarray(lbls),
+                                  jnp.asarray(table), crop=32)
+    b = transforms.eval_transform(jnp.asarray(imgs), jnp.asarray(lbls),
+                                  jnp.asarray(table), crop=32)
+    np.testing.assert_array_equal(np.asarray(a["label"]), np.asarray(b["label"]))
+    np.testing.assert_allclose(np.asarray(a["image"]), np.asarray(b["image"]))
+
+
+def test_normalize_denormalize_roundtrip():
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (4, 4, 3)).astype(np.uint8)
+    x = transforms.normalize_image(jnp.asarray(img))
+    back = transforms.denormalize_image(x)
+    np.testing.assert_allclose(np.asarray(back), img, atol=1)
