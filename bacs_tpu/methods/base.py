@@ -284,12 +284,26 @@ class Method:
                 ignore_index=self.ignore_index,
             )
         else:
-            loss = cross_entropy(
-                logits,
-                labels,
-                ignore_index=self.ignore_index,
-                class_weights=class_weights,
-            )
+            sem = out.sem_logits[..., : ctx.n_cur]
+            if (
+                train
+                and class_weights is None
+                and sem.shape[1] < labels.shape[1]
+            ):
+                # fused upsample+CE — the full-res logits never materialize
+                # (ops/upsample_ce.py; identical value/gradient)
+                from bacs_tpu.ops.upsample_ce import upsampled_cross_entropy
+
+                loss = upsampled_cross_entropy(
+                    sem, labels, labels.shape[1:3], self.ignore_index
+                )
+            else:
+                loss = cross_entropy(
+                    logits,
+                    labels,
+                    ignore_index=self.ignore_index,
+                    class_weights=class_weights,
+                )
 
         # seen/fg detector training (reference: base_loss.py:192-199,241-250):
         # only on non-replay batches (unless same_task), gated on prototype

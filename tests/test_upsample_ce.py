@@ -1,0 +1,42 @@
+"""Fused upsample+CE: value and gradient parity with the composed ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bacs_tpu.ops.interpolate import resize_bilinear
+from bacs_tpu.ops.losses import cross_entropy
+from bacs_tpu.ops.upsample_ce import upsampled_cross_entropy
+
+
+def _composed(sem, labels, out_hw):
+    up = resize_bilinear(sem.astype(jnp.float32), out_hw, align_corners=False)
+    return cross_entropy(up, labels, 255)
+
+
+def test_value_matches_composed(rng):
+    sem = jnp.asarray(rng.randn(2, 8, 8, 5).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 5, (2, 32, 32)).astype(np.int32))
+    labels = labels.at[0, :4].set(255)
+    fused = upsampled_cross_entropy(sem, labels, (32, 32), 255)
+    ref = _composed(sem, labels, (32, 32))
+    np.testing.assert_allclose(float(fused), float(ref), rtol=1e-5)
+
+
+def test_gradient_matches_composed(rng):
+    sem = jnp.asarray(rng.randn(2, 8, 8, 5).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 5, (2, 32, 32)).astype(np.int32))
+    g1 = jax.grad(
+        lambda s: upsampled_cross_entropy(s, labels, (32, 32), 255)
+    )(sem)
+    g2 = jax.grad(lambda s: _composed(s, labels, (32, 32)))(sem)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
+                               atol=1e-6)
+
+
+def test_identity_size(rng):
+    sem = jnp.asarray(rng.randn(1, 16, 16, 4).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 4, (1, 16, 16)).astype(np.int32))
+    fused = upsampled_cross_entropy(sem, labels, (16, 16), 255)
+    ref = cross_entropy(sem, labels, 255)
+    np.testing.assert_allclose(float(fused), float(ref), rtol=1e-5)
