@@ -155,6 +155,7 @@ class BACSMethod(ExperienceReplayMethod):
             batch_stats=new_bs,
             state_updates=updates,
             metrics={},
+            sem_logits=out.sem_logits[..., : ctx.n_cur],
         )
 
     # ------------------------------------------------------------------

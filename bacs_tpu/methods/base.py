@@ -38,6 +38,10 @@ class StepAux(NamedTuple):
     batch_stats: Any  # updated BN statistics
     state_updates: Dict[str, Any]  # TrainState field updates to apply
     metrics: Dict[str, Array]
+    # pre-upsample logits (active classes) — lets the eval step compute the
+    # confusion matrix via the fused kernel without materializing full-res
+    # logits (ops/upsample_confusion.py)
+    sem_logits: Optional[Array] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -214,6 +218,7 @@ class Method:
             batch_stats=new_bs,
             state_updates=updates,
             metrics={},
+            sem_logits=out.sem_logits[..., : ctx.n_cur],
         )
 
     def prototype_updates(
@@ -285,11 +290,7 @@ class Method:
             )
         else:
             sem = out.sem_logits[..., : ctx.n_cur]
-            if (
-                train
-                and class_weights is None
-                and sem.shape[1] < labels.shape[1]
-            ):
+            if class_weights is None and sem.shape[1] < labels.shape[1]:
                 # fused upsample+CE — the full-res logits never materialize
                 # (ops/upsample_ce.py; identical value/gradient)
                 from bacs_tpu.ops.upsample_ce import upsampled_cross_entropy

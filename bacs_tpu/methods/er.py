@@ -95,6 +95,7 @@ class ExperienceReplayMethod(Method):
             batch_stats=new_bs,
             state_updates=updates,
             metrics={},
+            sem_logits=out.sem_logits[..., : ctx.n_cur],
         )
 
     def _sample_replay(self, state: TrainState, rng: jax.Array, task_id: int):

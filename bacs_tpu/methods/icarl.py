@@ -42,5 +42,6 @@ class IcarlMethod(Method):
             loss = cross_entropy(logits, mask, self.ignore_index)
         updates = self.prototype_updates(ctx, state, out.penultimate, mask, train)
         return loss, StepAux(
-            logits=logits, batch_stats=new_bs, state_updates=updates, metrics={}
+            logits=logits, batch_stats=new_bs, state_updates=updates, metrics={},
+            sem_logits=out.sem_logits[..., : ctx.n_cur],
         )

@@ -77,5 +77,6 @@ class MiBMethod(Method):
 
         updates = self.prototype_updates(ctx, state, out.penultimate, mask, train)
         return loss, StepAux(
-            logits=logits, batch_stats=new_bs, state_updates=updates, metrics={}
+            logits=logits, batch_stats=new_bs, state_updates=updates, metrics={},
+            sem_logits=out.sem_logits[..., : ctx.n_cur],
         )

@@ -102,7 +102,8 @@ class SDRMethod(Method):
             )
 
         return loss, StepAux(
-            logits=logits, batch_stats=new_bs, state_updates=updates, metrics={}
+            logits=logits, batch_stats=new_bs, state_updates=updates, metrics={},
+            sem_logits=out.sem_logits[..., : ctx.n_cur],
         )
 
     # ------------------------------------------------------------------

@@ -75,10 +75,23 @@ def _eval_step_impl(
     loss, aux = method.compute_loss(
         ctx, state.params, state, batch, False, state.rng
     )
-    preds = jnp.argmax(aux.logits, axis=-1)
-    cm = confusion_matrix(
-        preds, batch["label"], num_classes, ignore_index=method.ignore_index
-    )
+    label_hw = batch["label"].shape[1:3]
+    if (
+        aux.sem_logits is not None
+        and aux.sem_logits.shape[1:3] != tuple(label_hw)
+    ):
+        # fused upsample+argmax+confusion — full-res logits never exist
+        from bacs_tpu.ops.upsample_confusion import upsampled_confusion
+
+        cm = upsampled_confusion(
+            aux.sem_logits, batch["label"], tuple(label_hw), num_classes,
+            method.ignore_index,
+        )
+    else:
+        preds = jnp.argmax(aux.logits, axis=-1)
+        cm = confusion_matrix(
+            preds, batch["label"], num_classes, ignore_index=method.ignore_index
+        )
     if ctx.axis_name is not None:
         cm = jax.lax.psum(cm, ctx.axis_name)
         loss = jax.lax.pmean(loss, ctx.axis_name)

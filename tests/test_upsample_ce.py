@@ -40,3 +40,17 @@ def test_identity_size(rng):
     fused = upsampled_cross_entropy(sem, labels, (16, 16), 255)
     ref = cross_entropy(sem, labels, 255)
     np.testing.assert_allclose(float(fused), float(ref), rtol=1e-5)
+
+
+def test_upsampled_confusion_matches_composed(rng):
+    from bacs_tpu.ops.upsample_confusion import upsampled_confusion, _conf_jnp
+
+    sem = jnp.asarray(rng.randn(2, 8, 8, 5).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 6, (2, 32, 32)).astype(np.int32))
+    labels = labels.at[0, 0].set(255)
+    cm = upsampled_confusion(sem, labels, (32, 32), 6, 255)
+    ref = _conf_jnp(sem, labels, (32, 32), 6, 255)
+    np.testing.assert_array_equal(np.asarray(cm), np.asarray(ref))
+    assert int(np.asarray(cm).sum()) == 2 * 32 * 32 - 32 - int(
+        (np.asarray(labels) == 255).sum() - 32
+    )
