@@ -1,5 +1,10 @@
 """DataModule: CL-aware train/val/test batch streams with device transforms.
 
+Host decode overlaps device compute via a one-slot background prefetch
+thread (`_prefetch`) — the single-core host's PIL decodes run while the TPU
+chews the previous batch (replacing the reference's num_workers DataLoader
+processes, base_datamodule.py:45-54).
+
 Functional equivalent of the reference's LightningDataModule stack
 (reference: dataloaders/base_datamodule.py:22-469): task state, debug/sweep
 subsetting, per-task train loaders, and eval loaders over tasks 0..t with
@@ -28,6 +33,29 @@ from bacs_tpu.data.datasets import (
     make_cityscapes_source,
     make_voc_source,
 )
+
+
+def _prefetch(iterator, depth: int = 2):
+    """Run `iterator` in a daemon thread, keeping `depth` items ready."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
 
 
 class DataModule:
@@ -172,7 +200,18 @@ class DataModule:
         task_id: Optional[int] = None,
         augment: bool = True,
     ) -> Iterator[Dict[str, jax.Array]]:
-        """One epoch of device batches for the current task."""
+        """One epoch of device batches for the current task (prefetched)."""
+        return _prefetch(
+            self._train_batches_impl(epoch, n_devices, task_id, augment)
+        )
+
+    def _train_batches_impl(
+        self,
+        epoch: int,
+        n_devices: int = 1,
+        task_id: Optional[int] = None,
+        augment: bool = True,
+    ) -> Iterator[Dict[str, jax.Array]]:
         t = self.task_id if task_id is None else task_id
         indices = self.train_indices(t)
         rng = np.random.RandomState((self.seed, t, epoch).__hash__() % (2**31))
@@ -204,6 +243,14 @@ class DataModule:
                 )
 
     def eval_batches(
+        self,
+        task_id: int,
+        split: str = "val",
+        n_devices: int = 1,
+    ) -> Iterator[Dict[str, jax.Array]]:
+        return _prefetch(self._eval_batches_impl(task_id, split, n_devices))
+
+    def _eval_batches_impl(
         self,
         task_id: int,
         split: str = "val",
