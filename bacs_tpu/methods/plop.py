@@ -178,6 +178,7 @@ def _median_from_histogram(
     for cls in range(c):
         total = histograms[cls].sum()
         if total <= 0:
+            thresholds[cls] = base_threshold  # reference floors ALL classes
             continue
         half = total / 2
         running_sum = 0.0
