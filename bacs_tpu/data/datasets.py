@@ -32,11 +32,25 @@ CITYSCAPES_ID_TO_TRAINID = {
 
 
 def _load_pair(img_path: str, lbl_path: str, size: int):
+    """Decode to a canonical size×size pair, aspect-preserving: resize the
+    shorter side to `size`, then center-crop (the reference's eval transform,
+    voc_datamodule.py:24-30; train-time RandomResizedCrop then samples
+    regions of this canvas on device)."""
     from PIL import Image
 
-    img = Image.open(img_path).convert("RGB").resize((size, size), Image.BILINEAR)
-    lbl = Image.open(lbl_path).resize((size, size), Image.NEAREST)
-    return np.asarray(img, np.uint8), np.asarray(lbl, np.uint8)
+    img = Image.open(img_path).convert("RGB")
+    lbl = Image.open(lbl_path)
+    w, h = img.size
+    scale = size / min(w, h)
+    nw, nh = max(size, round(w * scale)), max(size, round(h * scale))
+    img = img.resize((nw, nh), Image.BILINEAR)
+    lbl = lbl.resize((nw, nh), Image.NEAREST)
+    left, top = (nw - size) // 2, (nh - size) // 2
+    box = (left, top, left + size, top + size)
+    return (
+        np.asarray(img.crop(box), np.uint8),
+        np.asarray(lbl.crop(box), np.uint8),
+    )
 
 
 class FolderSource:
