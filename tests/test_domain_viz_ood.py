@@ -51,3 +51,41 @@ def test_aux_bg_summary_keys():
         "IoU-bg", "IoU-not-bg", "mIoU", "Accuracy", "Precision", "Recall"
     }
     assert 0 <= out["mIoU"] <= 1
+
+
+def test_aux_bg_step_jitted_path():
+    """Full aux-bg eval pass through a bg-detector UNet."""
+    import jax
+    from bacs_tpu.methods.base import ModelContext
+    from bacs_tpu.models import create_network
+    from bacs_tpu.train.ood import aux_bg_step, ood_test
+    from bacs_tpu.train.state import TrainState
+
+    net = create_network("unet", num_classes=4, n_tasks=2, use_bg_detector=True,
+                         axis_name=None, crop_size=16, num_layers=3)
+    x = jnp.zeros((2, 16, 16, 3))
+    v = net.init({"params": jax.random.PRNGKey(0),
+                  "dropout": jax.random.PRNGKey(1)}, x, train=True)
+    task = TaskInfo(task_id=1, initial_classes=3, increment=1, num_classes=4,
+                    n_tasks=2)
+    ctx = ModelContext(net, task, None)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=v["params"],
+        batch_stats=v["batch_stats"], opt_state=None,
+        rng=jax.random.PRNGKey(2),
+        prototypes=jnp.ones((2, 32)) * 0.2, proto_counts=jnp.ones((2,)),
+    )
+    batch = {
+        "image": jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 3),
+                             jnp.float32),
+        "label": jnp.asarray(
+            np.random.RandomState(1).randint(0, 4, (2, 16, 16)), jnp.int32),
+    }
+    conf2 = jnp.zeros((2, 2), jnp.int32)
+    conf2, stats = aux_bg_step(ctx, state, batch, conf2)
+    assert int(np.asarray(conf2).sum()) == 2 * 16 * 16
+    assert "bg_prob_mean" in stats and "old_cl_prob_mean" in stats
+    # OOD pass over two batches
+    metrics = ood_test(ctx, state, iter([batch, batch]))
+    assert 0.0 <= metrics["Accuracy_current"] <= 1.0
+    assert 0.0 <= metrics["F1_score_current"] <= 1.0
