@@ -127,3 +127,39 @@ def test_sync_abn_stats_are_cross_replica():
     np.testing.assert_allclose(
         np.asarray(stats["mean"]) / 0.1, mean_global, rtol=1e-5
     )  # momentum 0.1 from zero-init running mean
+
+
+def test_multi_step_scan_on_mesh():
+    """Scanned K-step training under shard_map matches running K single
+    steps (same data order)."""
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from bacs_tpu.train.step import make_multi_step, make_steps
+
+    mesh = Mesh(np.array(devices[:8]), ("data",))
+    method = CrossEntropyMethod()
+    rng = np.random.RandomState(3)
+    K = 3
+    batches = {
+        "image": jnp.asarray(rng.rand(K, 8, 16, 16, 3).astype(np.float32)),
+        "label": jnp.asarray(rng.randint(0, 4, (K, 8, 16, 16)).astype(np.int32)),
+    }
+
+    net, task, tx, state_a = _setup(axis_name="data")
+    ctx = ModelContext(net, task, "data")
+    multi = make_multi_step(ctx, method, tx, mesh=mesh)
+    state_a, metrics = multi(state_a, batches)
+
+    _, _, tx_b, state_b = _setup(axis_name="data")
+    train1, _, put1 = make_steps(ctx, method, tx_b, 4, mesh=mesh)
+    for k in range(K):
+        b = {"image": batches["image"][k], "label": batches["label"][k]}
+        state_b, m = train1(state_b, put1(b))
+
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(m["loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
