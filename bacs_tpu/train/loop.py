@@ -346,12 +346,13 @@ class Trainer:
                     # force a host sync so throughput numbers are real
                     float(metrics["loss"])
                     dt = time.perf_counter() - t0
-                    self._timing["images"] += (
-                        batch["image"].shape[0] * steps_per_dispatch
-                        if multi_step is not None
-                        else batch["image"].shape[0]
-                    )
-                    self._timing["seconds"] += dt
+                    if dt < 5.0:  # exclude compile-dominated dispatches
+                        self._timing["images"] += (
+                            batch["image"].shape[0] * steps_per_dispatch
+                            if multi_step is not None
+                            else batch["image"].shape[0]
+                        )
+                        self._timing["seconds"] += dt
                 if step_count >= max_iters:
                     break
             if multi_step is not None and pending:

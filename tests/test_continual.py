@@ -90,3 +90,28 @@ def test_multihead_mib_init():
     np.testing.assert_allclose(float(nb[0]), expected_bias, rtol=1e-6)
     # untouched classes keep their rows
     np.testing.assert_allclose(np.asarray(nk[..., 2]), np.asarray(kernel[..., 2]))
+
+
+def test_voc_15_1_shapes():
+    """VOC 15-1: 21 classes, initial 15 fg + 1/task → 6 tasks
+    (reference scenario grid, scripts/voc/slurm_train.sh:18-19)."""
+    rng = np.random.RandomState(0)
+    # synthetic class sets: each image holds 1-3 fg classes
+    class_sets = [
+        np.unique(rng.randint(1, 21, size=rng.randint(1, 4)))
+        for _ in range(200)
+    ]
+    s = ContinualScenario(class_sets, 15, 1, 21, mode="overlap")
+    assert s.n_tasks == 6
+    assert s.task_classes(0) == list(range(1, 16))
+    assert s.task_classes(5) == [20]
+    assert s.n_classes_at(0) == 16 and s.n_classes_at(5) == 21
+    # train table at task 3: only class 18 visible
+    t3 = s.label_table(3, train=True)
+    assert t3[18] == 18 and t3[17] == 0 and t3[1] == 0
+    # eval table at task 3: classes 1..18 visible, 19/20 future → bg
+    e3 = s.label_table(3, train=False)
+    assert e3[18] == 18 and e3[1] == 1 and e3[19] == 0 and e3[20] == 0
+    # every task has at least some images under overlap
+    for t in range(6):
+        assert len(s.task_indices(t)) > 0
