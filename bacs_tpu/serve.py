@@ -1,0 +1,166 @@
+"""Inference / serving path: load a checkpoint, predict, export.
+
+The reference has no deployment story (training-only research code); this
+module adds one TPU-first:
+
+- `Predictor`: jitted eval-mode forward (bf16) + argmax, batched, with the
+  fused on-device normalize; accepts numpy images or file paths.
+- `Predictor.export(path)`: serializes the inference function with
+  `jax.export` (StableHLO) for running under any JAX-compatible serving
+  runtime without Python model code.
+- color-PNG mask rendering with the VOC palette.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bacs_tpu.data.transforms import normalize_image
+from bacs_tpu.models import create_network
+from bacs_tpu.viz.media import voc_colormap
+
+
+class Predictor:
+    def __init__(
+        self,
+        network_cfg: dict,
+        num_classes: int,
+        params,
+        batch_stats,
+        crop_size: int = 512,
+        active_classes: Optional[int] = None,
+        dtype=jnp.bfloat16,
+    ):
+        target = network_cfg.get("_target_", "networks.DeepLabV3")
+        self.crop_size = crop_size
+        self.num_classes = num_classes
+        self.active_classes = active_classes or num_classes
+        self.model = create_network(
+            target,
+            num_classes=num_classes,
+            active_classes=self.active_classes,
+            norm=str(network_cfg.get("norm", "iabn_sync")),
+            axis_name=None,
+            crop_size=crop_size,
+            dtype=dtype,
+            **{
+                k: v
+                for k, v in network_cfg.items()
+                if k in ("backbone", "output_stride", "n_channels", "bilinear",
+                         "num_layers", "transformer", "atrous_encoder")
+            },
+        )
+        self.variables = {"params": params, "batch_stats": batch_stats}
+        n_active = self.active_classes
+
+        def _infer(variables, images_u8):
+            x = normalize_image(images_u8)
+            out = self.model.apply(variables, x, train=False)
+            preds = jnp.argmax(out.logits[..., :n_active], axis=-1)
+            probs = jax.nn.softmax(out.logits[..., :n_active], axis=-1)
+            conf = jnp.max(probs, axis=-1)
+            return preds.astype(jnp.int32), conf
+
+        self._infer = jax.jit(_infer)
+
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_checkpoint(cls, ckpt_dir: str, config) -> "Predictor":
+        """Restore the newest task checkpoint saved by the Trainer."""
+        from bacs_tpu.train.loop import Trainer
+        from bacs_tpu.utils.checkpoint import latest_checkpoint, restore_checkpoint
+
+        found = latest_checkpoint(ckpt_dir)
+        if not found:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+        task_id, path = found
+        trainer = Trainer(config)
+        task = trainer._task_info(task_id)
+        model = trainer._make_model(task)
+        tx = trainer._make_tx(task)
+        template = trainer._init_state(model, tx, task)
+        if trainer.method.needs_prev_model and task_id > 0:
+            template = template.replace(
+                prev_params=jax.tree.map(jnp.copy, template.params),
+                prev_batch_stats=jax.tree.map(jnp.copy, template.batch_stats),
+            )
+        state = restore_checkpoint(path, template)
+        return cls(
+            dict(config.get("network", {})),
+            trainer.datamodule.num_classes,
+            state.params,
+            state.batch_stats,
+            crop_size=trainer.datamodule.crop_size,
+            active_classes=task.nb_current_classes,
+        )
+
+    # ------------------------------------------------------------------
+
+    def predict(self, images: np.ndarray):
+        """images: uint8 [N, H, W, 3] at crop size → (preds [N,H,W], conf)."""
+        preds, conf = self._infer(self.variables, jnp.asarray(images))
+        return np.asarray(preds), np.asarray(conf)
+
+    def predict_files(
+        self, paths: Sequence[str], out_dir: Optional[str] = None,
+        batch_size: int = 8,
+    ) -> List[np.ndarray]:
+        from PIL import Image
+
+        cmap = voc_colormap()
+        results = []
+        for i in range(0, len(paths), batch_size):
+            chunk = paths[i : i + batch_size]
+            imgs = []
+            for p in chunk:
+                img = Image.open(p).convert("RGB").resize(
+                    (self.crop_size, self.crop_size), Image.BILINEAR
+                )
+                imgs.append(np.asarray(img, np.uint8))
+            batch = np.stack(imgs)
+            n_real = len(chunk)
+            if n_real < batch_size:
+                batch = np.resize(batch, (batch_size,) + batch.shape[1:])
+            preds, _ = self.predict(batch)
+            for j, p in enumerate(chunk):
+                mask = preds[j]
+                results.append(mask)
+                if out_dir:
+                    os.makedirs(out_dir, exist_ok=True)
+                    name = os.path.splitext(os.path.basename(p))[0]
+                    Image.fromarray(cmap[np.clip(mask, 0, 255)]).save(
+                        os.path.join(out_dir, f"{name}_mask.png")
+                    )
+        return results
+
+    # ------------------------------------------------------------------
+
+    def export(self, path: str, batch_size: int = 8) -> str:
+        """Serialize the inference fn to StableHLO bytes (jax.export)."""
+        from jax import export as jax_export
+
+        x_spec = jax.ShapeDtypeStruct(
+            (batch_size, self.crop_size, self.crop_size, 3), jnp.uint8
+        )
+        var_specs = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), self.variables
+        )
+        exported = jax_export.export(self._infer)(var_specs, x_spec)
+        blob = exported.serialize()
+        with open(path, "wb") as f:
+            f.write(blob)
+        return path
+
+    @staticmethod
+    def run_exported(path: str, variables, images_u8):
+        from jax import export as jax_export
+
+        with open(path, "rb") as f:
+            exported = jax_export.deserialize(f.read())
+        return exported.call(variables, images_u8)

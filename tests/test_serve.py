@@ -1,0 +1,60 @@
+"""Predictor / serving path: checkpoint → predict → export roundtrip."""
+
+import os
+import tempfile
+
+import numpy as np
+
+from bacs_tpu.config.core import Config
+from bacs_tpu.train.loop import Trainer
+
+
+def test_predict_from_checkpoint_and_export():
+    with tempfile.TemporaryDirectory() as d:
+        ckpt = os.path.join(d, "ckpt")
+        cfg = Config._wrap(
+            {
+                "dataset": {
+                    "_target_": "dataloaders.SyntheticDataModule",
+                    "dataset": {"num_classes": 4, "crop_size": 16,
+                                 "n_train": 8, "n_val": 4},
+                },
+                "network": {"_target_": "networks.UNet", "num_layers": 3},
+                "optimizer": {"_target_": "torch.optim.SGD", "lr": 0.05,
+                               "momentum": 0.9},
+                "scheduler": {"_target_": "training.PolyLR"},
+                "training": {"name": "t", "batch_size": 2, "epochs": 1,
+                              "seed": 1, "debug": True, "ckpt_dir": ckpt},
+                "loss": {"_target_": "loss.CrossEntropy"},
+            }
+        )
+        Trainer(cfg).fit()
+
+        from bacs_tpu.serve import Predictor
+
+        predictor = Predictor.from_checkpoint(ckpt, cfg)
+        imgs = np.random.RandomState(0).randint(
+            0, 255, (2, 16, 16, 3)
+        ).astype(np.uint8)
+        preds, conf = predictor.predict(imgs)
+        assert preds.shape == (2, 16, 16)
+        assert preds.max() < 4
+        assert 0.0 <= float(conf.mean()) <= 1.0
+
+        # file-based prediction with PNG mask output
+        from PIL import Image
+
+        img_path = os.path.join(d, "x.png")
+        Image.fromarray(imgs[0]).save(img_path)
+        out_dir = os.path.join(d, "masks")
+        masks = predictor.predict_files([img_path], out_dir=out_dir)
+        assert len(masks) == 1
+        assert os.path.exists(os.path.join(out_dir, "x_mask.png"))
+
+        # jax.export roundtrip
+        export_path = os.path.join(d, "model.stablehlo")
+        predictor.export(export_path, batch_size=2)
+        preds2, _ = Predictor.run_exported(
+            export_path, predictor.variables, imgs
+        )
+        np.testing.assert_array_equal(np.asarray(preds2), preds)
