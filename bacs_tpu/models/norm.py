@@ -73,19 +73,26 @@ class ABN(nn.Module):
         # an invertible activation, i.e. leaky_relu with slope > 0.
         import os
 
+        # identity activation is leaky_relu with slope 1 — equally invertible,
+        # so the residual-branch bn3/proj_bn layers ride the fused path too
+        fusable_act = (
+            self.activation == "leaky_relu" and self.activation_param > 0
+        ) or self.activation == "identity"
         use_fused = (
             not use_running_average
             and not self.renorm
-            and self.activation == "leaky_relu"
-            and self.activation_param > 0
+            and fusable_act
             and not self.is_initializing()
             and os.environ.get("BACS_FUSED_ABN", "1") != "0"
         )
         if use_fused:
             from bacs_tpu.ops.abn_core import fused_abn
 
+            slope = (
+                self.activation_param if self.activation == "leaky_relu" else 1.0
+            )
             y, mean, var = fused_abn(
-                x, scale, bias, self.eps, self.activation_param, self.axis_name
+                x, scale, bias, self.eps, slope, self.axis_name
             )
             m = self.momentum
             ra_mean.value = (1.0 - m) * ra_mean.value + m * jax.lax.stop_gradient(mean)
