@@ -54,6 +54,7 @@ def create_network(
             norm=norm_factory,
             n_tasks=n_tasks,
             use_bg_detector=use_bg_detector,
+            remat=bool(kwargs.get("remat", False)),
             axis_name=axis_name,
             dtype=dtype,
         )

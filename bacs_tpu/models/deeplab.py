@@ -82,6 +82,7 @@ class DeepLabV3(nn.Module):
     norm: Callable[..., nn.Module] = ABN
     n_tasks: int = 1  # bg-detector head count when enabled
     use_bg_detector: bool = False
+    remat: bool = False
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
     out_in_planes: int = 256
@@ -91,6 +92,7 @@ class DeepLabV3(nn.Module):
             self.backbone_name,
             norm=self.norm,
             output_stride=self.output_stride,
+            remat=self.remat,
             dtype=self.dtype,
         )
         self.base_classifier = DeepLabHead(

@@ -60,10 +60,12 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     norm: Callable[..., nn.Module] = ABN
     last: bool = False
+    is_training: bool = True  # attribute (not arg) so nn.remat wraps cleanly
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = True):
+    def __call__(self, x: Array):
+        train = self.is_training
         c1, c2, c3 = self.channels
         needs_proj = self.stride != 1 or x.shape[-1] != c3
 
@@ -102,10 +104,12 @@ class BasicBlock(nn.Module):
     dilation: int = 1
     norm: Callable[..., nn.Module] = ABN
     last: bool = False
+    is_training: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = True):
+    def __call__(self, x: Array):
+        train = self.is_training
         c1, c2 = self.channels
         needs_proj = self.stride != 1 or x.shape[-1] != c2
         y = conv(c1, 3, self.stride, self.dilation, dtype=self.dtype, name="conv1")(x)
@@ -140,6 +144,7 @@ class ResNet(nn.Module):
     bottleneck: bool = True
     output_stride: int = 16
     norm: Callable[..., nn.Module] = ABN
+    remat: bool = False  # jax.checkpoint each block (trade FLOPs for memory)
     dtype: Any = jnp.float32
 
     @property
@@ -163,6 +168,10 @@ class ResNet(nn.Module):
         attentions = []
         channels = (64, 64, 256) if self.bottleneck else (64, 64)
         block_cls = Bottleneck if self.bottleneck else BasicBlock
+        if self.remat:
+            # rematerialize block activations in the backward pass
+            # (SURVEY §7: BACS runs up to 4 forwards per step at 512²)
+            block_cls = nn.remat(block_cls)
         for mod_id, num in enumerate(self.structure):
             d = dilation[mod_id]
             for block_id in range(num):
@@ -174,9 +183,10 @@ class ResNet(nn.Module):
                     dilation=d,
                     norm=self.norm,
                     last=last,
+                    is_training=train,
                     dtype=self.dtype,
                     name=f"mod{mod_id + 2}_block{block_id + 1}",
-                )(x, train=train)
+                )(x)
                 if last:
                     x, att = out
                     attentions.append(att)
@@ -190,6 +200,7 @@ def create_resnet(
     name: str = "resnet101",
     norm: Callable[..., nn.Module] = ABN,
     output_stride: int = 16,
+    remat: bool = False,
     dtype: Any = jnp.float32,
 ) -> ResNet:
     structure, bottleneck = RESNET_STRUCTURES[name]
@@ -198,5 +209,6 @@ def create_resnet(
         bottleneck=bottleneck,
         output_stride=output_stride,
         norm=norm,
+        remat=remat,
         dtype=dtype,
     )

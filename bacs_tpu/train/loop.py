@@ -167,7 +167,7 @@ class Trainer:
                 k: v
                 for k, v in ncfg.items()
                 if k in ("backbone", "output_stride", "n_channels", "bilinear",
-                         "num_layers", "transformer", "atrous_encoder")
+                         "num_layers", "transformer", "atrous_encoder", "remat")
             },
         )
 
