@@ -43,7 +43,9 @@ def create_network(
     if kwargs.get("atrous_encoder"):
         kwargs["output_stride"] = 8
         norm = "bn"
-        norm_factory = make_norm(norm, axis_name=axis_name, momentum=3e-4)
+        # SDR atrous encoder: SynchronizedBatchNorm2d(momentum 3e-4) everywhere
+        # (reference: networks/resnet_atrous.py:31, deeplab_v3.py:72-75)
+        norm_factory = make_norm(norm, axis_name=axis_name, momentum=3e-4, sync=True)
     else:
         norm_factory = make_norm(norm, axis_name=axis_name)
     if short in ("deeplabv3", "deeplab", "deep_lab"):

@@ -55,6 +55,15 @@ class ABN(nn.Module):
     dmax: float = 5.0
     dtype: jnp.dtype = jnp.float32  # computation dtype for stats
 
+    def _unbiased_correction(self, x: Array) -> float:
+        """n/(n-1) Bessel factor for the running-var update (torch and
+        inplace_abn update running_var with the *unbiased* batch variance;
+        normalization itself uses the biased one)."""
+        n = x.size // x.shape[-1]
+        if self.axis_name is not None and not self.is_initializing():
+            n = n * jax.lax.axis_size(self.axis_name)
+        return n / max(n - 1, 1)
+
     @nn.compact
     def __call__(self, x: Array, use_running_average: bool = False) -> Array:
         scale = self.param("scale", nn.initializers.ones, (self.features,))
@@ -95,8 +104,11 @@ class ABN(nn.Module):
                 x, scale, bias, self.eps, slope, self.axis_name
             )
             m = self.momentum
+            corr = self._unbiased_correction(x)
             ra_mean.value = (1.0 - m) * ra_mean.value + m * jax.lax.stop_gradient(mean)
-            ra_var.value = (1.0 - m) * ra_var.value + m * jax.lax.stop_gradient(var)
+            ra_var.value = (1.0 - m) * ra_var.value + m * corr * jax.lax.stop_gradient(
+                var
+            )
             return y.astype(out_dtype)
 
         # reductions accumulate f32; elementwise math stays in x.dtype (an
@@ -116,8 +128,9 @@ class ABN(nn.Module):
             var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 m = self.momentum
+                corr = self._unbiased_correction(x)
                 ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
-                ra_var.value = (1.0 - m) * ra_var.value + m * var
+                ra_var.value = (1.0 - m) * ra_var.value + m * corr * var
 
         if self.renorm and not use_running_average:
             # batch renorm: normalize by batch stats, correct toward running
@@ -145,6 +158,7 @@ def make_norm(
     norm: str,
     axis_name: Optional[str] = None,
     momentum: Optional[float] = None,
+    sync: bool = False,
 ) -> "type[nn.Module] | object":
     """Norm-layer factory mirroring the reference's norm selector strings.
 
@@ -157,8 +171,13 @@ def make_norm(
 
     cfg: dict = {}
     if norm == "bn":
-        cfg = dict(activation="relu", activation_param=0.0, momentum=momentum or 0.1)
-        axis = None
+        # reference `bn` branch always uses momentum 0.0003
+        # (networks/deeplab_v3.py:72-75 BNReLUAct) and synchronized stats only
+        # for the SDR atrous encoder (`use_sync_batch=use_atrous_encoder`)
+        cfg = dict(
+            activation="relu", activation_param=0.0, momentum=momentum or 0.0003
+        )
+        axis = axis_name if sync else None
     elif norm in ("iabn_sync", "abn_sync"):
         cfg = dict(activation="leaky_relu", activation_param=0.01)
         axis = axis_name

@@ -122,3 +122,126 @@ def _convert(sd, params, batch_stats):
     params["backbone"] = bb_p
     batch_stats["backbone"] = bb_s
     return params, batch_stats, loaded
+
+
+def convert_reference_deeplab(
+    sd: Dict[str, np.ndarray], variables: Dict[str, Any]
+) -> Tuple[Dict[str, Any], Dict[str, Any], int]:
+    """Convert a FULL reference-DeepLabV3 torch state dict to Flax variables.
+
+    Maps backbone (`backbone.mod*`), ASPP head (`base_classifier.*`,
+    reference: networks/deeplab_v3.py:175-305), classifier head(s)
+    (single conv or per-task ModuleList concatenated into the padded head,
+    reference: networks/base_network.py:99-118), and the BACS BgDetector
+    (`seen_fg_network.*`, reference: networks/bg_detector.py) onto this
+    repo's DeepLabV3 parameter tree.  Used by the torch↔JAX parity tests.
+
+    Returns (params, batch_stats, n_tensors_loaded).
+    """
+    import jax.numpy as jnp
+
+    backbone_sd = {
+        k[len("backbone.") :]: v
+        for k, v in sd.items()
+        if k.startswith("backbone.")
+    }
+    params, batch_stats, loaded = _convert(
+        backbone_sd, variables["params"], variables.get("batch_stats", {})
+    )
+    hd_p = params.get("base_classifier", {})
+    hd_s = batch_stats.get("base_classifier", {})
+
+    def set_leaf(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            if p not in node:
+                return False
+            node = node[p]
+        leaf = path[-1]
+        if leaf in node and tuple(node[leaf].shape) == tuple(value.shape):
+            node[leaf] = jnp.asarray(value)
+            return True
+        return False
+
+    def set_norm(tree_p, tree_s, mod, leaf, value):
+        if leaf == "weight":
+            return set_leaf(tree_p, [mod, "scale"], np.abs(value))
+        if leaf == "bias":
+            return set_leaf(tree_p, [mod, "bias"], value)
+        if leaf == "running_mean":
+            return set_leaf(tree_s, [mod, "mean"], value)
+        if leaf == "running_var":
+            return set_leaf(tree_s, [mod, "var"], value)
+        return False
+
+    head_rows: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    det_rows: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    for key, value in sd.items():
+        parts = key.split(".")
+        if parts[0] == "base_classifier":
+            if parts[1] == "map_convs" and parts[3] == "weight":
+                loaded += set_leaf(
+                    hd_p, [f"map_conv{parts[2]}", "kernel"], _to_flax_conv(value)
+                )
+            elif parts[1].endswith("_conv") and parts[2] == "weight":
+                loaded += set_leaf(hd_p, [parts[1], "kernel"], _to_flax_conv(value))
+            elif parts[1].endswith("_bn"):
+                loaded += set_norm(hd_p, hd_s, parts[1], parts[2], value)
+        elif parts[0] == "classifier_head":
+            # single conv: classifier_head.weight / .bias
+            # ModuleList:  classifier_head.<t>.weight / .bias
+            idx = 0 if parts[1] in ("weight", "bias") else int(parts[1])
+            w, b = head_rows.get(idx, (None, None))
+            if parts[-1] == "weight":
+                head_rows[idx] = (value, b)
+            elif parts[-1] == "bias":
+                head_rows[idx] = (w, value)
+        elif parts[0] == "seen_fg_network":
+            det = params.get("seen_fg_network", {})
+            det_s = batch_stats.get("seen_fg_network", {})
+            if parts[1] == "base_layers":
+                if parts[2] == "0" and parts[3] == "weight":
+                    loaded += set_leaf(
+                        det, ["base_conv", "kernel"], _to_flax_conv(value)
+                    )
+                elif parts[2] == "1":
+                    # torch BatchNorm2d: scale used as-is (not ABN-style |w|)
+                    if parts[3] == "weight":
+                        loaded += set_leaf(det, ["base_bn", "scale"], value)
+                    else:
+                        loaded += set_norm(det, det_s, "base_bn", parts[3], value)
+            elif parts[1] == "seen_not_seen_clf":
+                idx = 0 if parts[2] == "conv" else int(parts[2])
+                w, b = det_rows.get(idx, (None, None))
+                if parts[-1] == "weight":
+                    det_rows[idx] = (value, b)
+                elif parts[-1] == "bias":
+                    det_rows[idx] = (w, value)
+
+    if head_rows:
+        ws = [head_rows[i][0] for i in sorted(head_rows)]
+        bs = [head_rows[i][1] for i in sorted(head_rows)]
+        w = np.concatenate(ws, axis=0)  # [C, in, 1, 1]
+        b = np.concatenate(bs, axis=0)
+        hp = params["classifier_head"]
+        n = min(hp["kernel"].shape[-1], w.shape[0])
+        kernel = np.asarray(hp["kernel"]).copy()
+        bias = np.asarray(hp["bias"]).copy()
+        kernel[..., :n] = _to_flax_conv(w)[..., :n]
+        bias[:n] = b[:n]
+        hp["kernel"] = jnp.asarray(kernel)
+        hp["bias"] = jnp.asarray(bias)
+        loaded += 2 * len(head_rows)
+    if det_rows:
+        det = params["seen_fg_network"]
+        hk = np.asarray(det["head_kernel"]).copy()
+        hb = np.asarray(det["head_bias"]).copy()
+        for i, (w, b) in det_rows.items():
+            hk[i] = w[:, :, 0, 0].T  # [1, D, 1, 1] → [D, 1]
+            hb[i] = b
+        det["head_kernel"] = jnp.asarray(hk)
+        det["head_bias"] = jnp.asarray(hb)
+        loaded += 2 * len(det_rows)
+    params["base_classifier"] = hd_p
+    batch_stats["base_classifier"] = hd_s
+    return params, batch_stats, loaded
