@@ -118,6 +118,26 @@ def train_transform(
     }
 
 
+@jax.jit
+def replay_augment(rng: Array, images: Array, labels: Array):
+    """Re-augment buffered batches at replay time.
+
+    The reference re-applies the full train transform (RandomResizedCrop
+    (0.5,2.0) + HFlip) to buffered samples every time they are replayed
+    (reference: dataloaders/base_datamodule.py:433-451 get_buffer_loader
+    passes train_transform).  Buffered images here are canonical normalized
+    crops already resident in HBM, so the crop/flip is applied to the stored
+    crop directly (no host round-trip); labels get the same spatial params.
+    """
+    crop = images.shape[1]
+    rngs = jax.random.split(rng, images.shape[0])
+
+    def one(r, img, lbl):
+        return _augment_one(r, img, lbl, crop, (0.5, 2.0))
+
+    return jax.vmap(one)(rngs, images, labels)
+
+
 @partial(jax.jit, static_argnames=("crop",))
 def eval_transform(images: Array, labels: Array, table: Array, crop: int = 512):
     """Resize(short side→crop) + CenterCrop + Normalize (reference test

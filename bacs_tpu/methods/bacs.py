@@ -241,9 +241,14 @@ class BACSMethod(ExperienceReplayMethod):
                 ctx, params, state, batch_stats, r_fwd, r_mix, mem, weights,
                 updates,
             )
+        # canonical buffered samples get the train augmentation at every
+        # replay (reference: base_datamodule.py:433-451 get_buffer_loader)
+        from bacs_tpu.data.transforms import replay_augment
+
+        r_fwd, r_aug = jax.random.split(r_fwd)
+        images, labels = replay_augment(r_aug, mem["images"], mem["labels"])
         loss, rep_out, _, new_bs, _ = self.compute_base_loss(
-            ctx, params, state, mem["images"], mem["labels"], True, r_fwd,
-            task_num=None,
+            ctx, params, state, images, labels, True, r_fwd,
             class_weights=weights,
             is_replay=True,
             batch_stats=batch_stats,
@@ -251,7 +256,7 @@ class BACSMethod(ExperienceReplayMethod):
         # replay batches also fold into the prototypes
         # (reference: base_loss.py:219-220 runs for every compute_base_loss)
         updates = self.prototype_updates(
-            ctx, state, rep_out.penultimate, mem["labels"], True, base=updates
+            ctx, state, rep_out.penultimate, labels, True, base=updates
         )
         return loss, new_bs, updates
 

@@ -311,7 +311,13 @@ class Method:
         # readiness, weighted by max(0, 1-exp(epoch - max_epochs)).
         if train and self.use_bg_detector and (same_task or not is_replay):
             ready = prototypes_ready(state, task).astype(jnp.float32)
-            t_num = task.task_id if task_num == -1 else task_num
+            # task_num may be a traced array (sampled replay partition) — only
+            # treat a *static* -1 as "current task" (reference:
+            # base_loss.py:264-266 `if task_num == -1: task_num = last`)
+            if isinstance(task_num, int) and task_num == -1:
+                t_num = task.task_id
+            else:
+                t_num = task_num
             seen_logits = ctx.seen_map_task(
                 params,
                 bs,

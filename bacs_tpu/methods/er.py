@@ -142,10 +142,20 @@ class ExperienceReplayMethod(Method):
             weights = (
                 (cls_idx >= 1) & (cls_idx < task.old_classes)
             ).astype(jnp.float32)
-        rng, r_fwd = jax.random.split(rng)
+        rng, r_fwd, r_aug = jax.random.split(rng, 3)
+        # buffered samples are canonical; re-apply the train augmentation at
+        # every replay (reference: base_datamodule.py:433-451)
+        from bacs_tpu.data.transforms import replay_augment
+
+        images, labels = replay_augment(r_aug, mem["images"], mem["labels"])
+        # same_task replay trains the seen-detector on the SAMPLED task's head
+        # (reference: loss/experience_replay.py:244-272 passes
+        # memory_dict["task_id"] as task_num); non-same-task replay never
+        # reaches the detector branch (gated by `same_task or not is_replay`).
+        replay_task = mem["task_id"] if self.same_task else -1
         loss, _, _, new_bs, _ = self.compute_base_loss(
-            ctx, params, state, mem["images"], mem["labels"], True, r_fwd,
-            task_num=None,  # replay batch (no seen-detector unless same_task)
+            ctx, params, state, images, labels, True, r_fwd,
+            task_num=replay_task,
             class_weights=weights,
             is_replay=True,
             same_task=self.same_task,

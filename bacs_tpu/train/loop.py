@@ -379,8 +379,12 @@ class Trainer:
             jax.profiler.stop_trace()
             self.logger.info(f"profiler trace written to {self.profile_dir}")
 
+        # buffers are populated from CANONICAL (non-augmented) images; replay
+        # re-augments per step (reference: base_datamodule.py:433-451)
         self.state = self.method.end_task(
-            self.state, ctx, dm.train_batches(epoch=0, n_devices=self.n_devices)
+            self.state,
+            ctx,
+            dm.train_batches(epoch=0, n_devices=self.n_devices, augment=False),
         )
         if self.save_checkpoints:
             from bacs_tpu.utils.checkpoint import save_task_checkpoint

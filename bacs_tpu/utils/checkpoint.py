@@ -48,9 +48,16 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[tuple[int, str]]:
     )
     for t in tasks:
         step_dir = os.path.join(root, f"step_{t}")
-        steps = sorted(os.listdir(step_dir), reverse=True)
-        for s in steps:
-            return t, os.path.join(step_dir, s)
+        steps = os.listdir(step_dir)
+        if not steps:
+            continue
+        # a completed task has both `final` and mid-task saves; `final` must
+        # win or resume re-runs end_task and re-populates the buffer on top of
+        # restored reservoir counters (reference trainer.py:155-157 excludes
+        # non-final ckpts only when scanning *unfinished* tasks)
+        if "final" in steps:
+            return t, os.path.join(step_dir, "final")
+        return t, os.path.join(step_dir, sorted(steps, reverse=True)[0])
     return None
 
 

@@ -73,3 +73,60 @@ def test_latest_prefers_newest_task():
         save_task_checkpoint(d, 1, state, "last")
         t, path = latest_checkpoint(d)
         assert t == 1 and path.endswith("last")
+
+
+def test_final_wins_over_last_within_a_task():
+    """A completed task saves both `last` (per-epoch) and `final`; resume must
+    pick `final` (task done → start at t+1) or end_task would re-run and
+    re-populate the buffer on top of restored reservoir counters."""
+    state = _state(with_prev=False)
+    with tempfile.TemporaryDirectory() as d:
+        save_task_checkpoint(d, 1, state, "last")
+        save_task_checkpoint(d, 1, state, "final")
+        t, path = latest_checkpoint(d)
+        assert t == 1 and path.endswith("final")
+
+
+def test_completed_task_resume_starts_next_task(tmp_path, monkeypatch):
+    """End-to-end: a run killed after task 0's `final` (but with a stale
+    `last` in the same step dir) resumes at task 1 without re-running task 0's
+    end_task (buffer is restored, not re-populated)."""
+    from bacs_tpu.config.core import load_config
+    from bacs_tpu.train.loop import Trainer
+
+    ckpt = str(tmp_path / "ckpt")
+    cfg = load_config(
+        "conf/continual_debug",
+        "config",
+        [
+            "loss=bacs",
+            "training.bg_detector=true",
+            "training.debug=false",  # debug disables resume (trainer.py:261)
+            f"+training.ckpt_dir={ckpt}",
+        ],
+    )
+    trainer = Trainer(cfg)
+    # run only task 0 (run_task includes end_task + final save)
+    trainer.per_step_metric.task_id = 0
+    trainer._run_task(0)
+    buf_valid = np.asarray(trainer.state.buffer.valid).copy()
+    num_seen = int(trainer.state.buffer.num_seen)
+    assert os.path.isdir(os.path.join(ckpt, "step_0", "final"))
+    assert os.path.isdir(os.path.join(ckpt, "step_0", "last"))
+
+    trainer2 = Trainer(cfg)
+    calls = []
+    orig_end_task = trainer2.method.end_task
+
+    def spy_end_task(state, ctx, batches):
+        calls.append(ctx.task.task_id)
+        return orig_end_task(state, ctx, batches)
+
+    trainer2.method.end_task = spy_end_task
+    start = trainer2._try_resume()
+    assert start == 1, "resume after a completed task must start at task 1"
+    assert int(trainer2.state.buffer.num_seen) == num_seen
+    np.testing.assert_array_equal(
+        np.asarray(trainer2.state.buffer.valid), buf_valid
+    )
+    assert calls == [], "end_task must not re-run for the completed task"

@@ -69,6 +69,23 @@ def test_eval_transform_is_deterministic():
     np.testing.assert_allclose(np.asarray(a["image"]), np.asarray(b["image"]))
 
 
+def test_replay_augment_varies_per_key_and_preserves_shape():
+    """Buffered canonical crops are re-augmented per replay step
+    (reference: base_datamodule.py:433-451)."""
+    rng = np.random.RandomState(1)
+    imgs = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    lbls = jnp.asarray(rng.randint(0, 4, (2, 32, 32)).astype(np.int32))
+    ia, la = transforms.replay_augment(jax.random.PRNGKey(0), imgs, lbls)
+    ib, lb = transforms.replay_augment(jax.random.PRNGKey(1), imgs, lbls)
+    assert ia.shape == imgs.shape and la.shape == lbls.shape
+    assert la.dtype == lbls.dtype
+    assert np.abs(np.asarray(ia) - np.asarray(ib)).max() > 1e-3  # differs per key
+    # labels stay within the original value set (nearest interpolation)
+    assert set(np.unique(np.asarray(la)).tolist()) <= set(
+        np.unique(np.asarray(lbls)).tolist()
+    )
+
+
 def test_normalize_denormalize_roundtrip():
     rng = np.random.RandomState(0)
     img = rng.randint(0, 255, (4, 4, 3)).astype(np.uint8)

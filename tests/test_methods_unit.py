@@ -65,6 +65,30 @@ def test_random_autocontrast_stretches_when_applied():
     assert float(jnp.min(out)) < 0.05 and float(jnp.max(out)) > 0.95
 
 
+def test_er_same_task_with_bg_detector_three_tasks():
+    """ER replay + bg_detector + same_task through 3 tasks must not shape-error:
+    the seen-detector trains on the SAMPLED partition's head during replay
+    (reference: loss/experience_replay.py:244-272 passes memory task_id)."""
+    from bacs_tpu.config.core import load_config
+    from bacs_tpu.train.loop import Trainer
+
+    cfg = load_config(
+        "conf/continual_debug",
+        "config",
+        ["loss=er", "training.bg_detector=true"],
+    )
+    assert cfg["loss"]["same_task"] is True
+    trainer = Trainer(cfg)
+    miou = trainer.fit()
+    assert np.isfinite(miou)
+    # per-task partitions were populated (buffer_size slots per task)
+    valid = np.asarray(trainer.state.buffer.valid)
+    size = trainer.method.buffer_size
+    n_tasks = trainer.n_tasks
+    for t in range(n_tasks - 1):  # last task's end_task also fills its slice
+        assert valid[t * size : (t + 1) * size].any(), f"partition {t} empty"
+
+
 def test_dark_logits_transplant_semantics():
     """Channels ≥ stored class count come from the current model
     (reference: bacs_loss.py:387-431)."""
