@@ -40,12 +40,12 @@ def create_network(
     short = name.rsplit(".", 1)[-1].lower()
     # SDR-style atrous encoder: output stride 8 with plain sync-BN momentum
     # 3e-4 (reference: networks/resnet_atrous.py:31,129; deeplab_v3.py:72-75)
-    if kwargs.get("atrous_encoder"):
-        kwargs["output_stride"] = 8
-        norm = "bn"
-        # SDR atrous encoder: SynchronizedBatchNorm2d(momentum 3e-4) everywhere
-        # (reference: networks/resnet_atrous.py:31, deeplab_v3.py:72-75)
-        norm_factory = make_norm(norm, axis_name=axis_name, momentum=3e-4, sync=True)
+    atrous = bool(kwargs.get("atrous_encoder"))
+    if atrous:
+        # SDR atrous encoder: SynchronizedBatchNorm2d(momentum 3e-4) on the
+        # WHOLE model, BN+ReLU (reference: networks/resnet_atrous.py:8,31;
+        # deeplab_v3.py:72-75 `bn` branch with use_sync_batch=True)
+        norm_factory = make_norm("bn", axis_name=axis_name, momentum=3e-4, sync=True)
     else:
         norm_factory = make_norm(norm, axis_name=axis_name)
     if short in ("deeplabv3", "deeplab", "deep_lab"):
@@ -56,6 +56,7 @@ def create_network(
             norm=norm_factory,
             n_tasks=n_tasks,
             use_bg_detector=use_bg_detector,
+            atrous_encoder=atrous,
             remat=bool(kwargs.get("remat", False)),
             axis_name=axis_name,
             dtype=dtype,

@@ -82,19 +82,31 @@ class DeepLabV3(nn.Module):
     norm: Callable[..., nn.Module] = ABN
     n_tasks: int = 1  # bg-detector head count when enabled
     use_bg_detector: bool = False
+    atrous_encoder: bool = False  # SDR ResNet_Atrous backbone (5 attentions)
     remat: bool = False
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
     out_in_planes: int = 256
 
     def setup(self):
-        self.backbone = create_resnet(
-            self.backbone_name,
-            norm=self.norm,
-            output_stride=self.output_stride,
-            remat=self.remat,
-            dtype=self.dtype,
-        )
+        if self.atrous_encoder:
+            from bacs_tpu.models.resnet_atrous import create_resnet_atrous
+
+            self.backbone = create_resnet_atrous(
+                self.backbone_name,
+                norm=self.norm,
+                output_stride=self.output_stride,
+                remat=self.remat,
+                dtype=self.dtype,
+            )
+        else:
+            self.backbone = create_resnet(
+                self.backbone_name,
+                norm=self.norm,
+                output_stride=self.output_stride,
+                remat=self.remat,
+                dtype=self.dtype,
+            )
         self.base_classifier = DeepLabHead(
             in_channels=self.backbone.out_channels,
             out_channels=self.out_in_planes,

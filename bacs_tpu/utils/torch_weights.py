@@ -124,6 +124,75 @@ def _convert(sd, params, batch_stats):
     return params, batch_stats, loaded
 
 
+def _convert_atrous_backbone(sd, params, batch_stats):
+    """Map the SDR ResNet_Atrous layout (`layer{s}.{b}.conv{i}/bn{i}`,
+    `downsample.0/1`; reference: networks/resnet_atrous.py) onto the Flax
+    `layer{s}_block{b+1}` tree.  Plain-BN scales are used as-is (signed),
+    unlike the ABN |scale| convention."""
+    import jax.numpy as jnp
+
+    def clone(t):
+        if isinstance(t, dict):
+            return {k: clone(v) for k, v in t.items()}
+        return t
+
+    params = clone(params)
+    batch_stats = clone(batch_stats)
+    bb_p = params.get("backbone", {})
+    bb_s = batch_stats.get("backbone", {})
+
+    def set_leaf(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            if p not in node:
+                return False
+            node = node[p]
+        leaf = path[-1]
+        if leaf in node and tuple(node[leaf].shape) == tuple(value.shape):
+            node[leaf] = jnp.asarray(value)
+            return True
+        return False
+
+    def set_norm(path, leaf, value):
+        if leaf == "weight":
+            return set_leaf(bb_p, path + ["scale"], value)
+        if leaf == "bias":
+            return set_leaf(bb_p, path + ["bias"], value)
+        if leaf == "running_mean":
+            return set_leaf(bb_s, path + ["mean"], value)
+        if leaf == "running_var":
+            return set_leaf(bb_s, path + ["var"], value)
+        return False
+
+    loaded = 0
+    for key, value in sd.items():
+        parts = key.split(".")
+        if parts[0] == "conv1" and parts[-1] == "weight":
+            loaded += set_leaf(bb_p, ["conv1", "kernel"], _to_flax_conv(value))
+        elif parts[0] == "bn1":
+            loaded += set_norm(["bn1"], parts[1], value)
+        elif parts[0].startswith("layer"):
+            mod = f"{parts[0]}_block{int(parts[1]) + 1}"
+            layer = parts[2]
+            if layer.startswith("conv") and parts[-1] == "weight":
+                loaded += set_leaf(bb_p, [mod, layer, "kernel"], _to_flax_conv(value))
+            elif layer.startswith("bn"):
+                loaded += set_norm([mod, layer], parts[3], value)
+            elif layer == "downsample":
+                # downsample.0 = 1x1 conv, downsample.1 = BN
+                if parts[3] == "0" and parts[-1] == "weight":
+                    loaded += set_leaf(
+                        bb_p,
+                        [mod, "downsample_conv", "kernel"],
+                        _to_flax_conv(value),
+                    )
+                elif parts[3] == "1":
+                    loaded += set_norm([mod, "downsample_bn"], parts[4], value)
+    params["backbone"] = bb_p
+    batch_stats["backbone"] = bb_s
+    return params, batch_stats, loaded
+
+
 def convert_reference_deeplab(
     sd: Dict[str, np.ndarray], variables: Dict[str, Any]
 ) -> Tuple[Dict[str, Any], Dict[str, Any], int]:
@@ -140,14 +209,23 @@ def convert_reference_deeplab(
     """
     import jax.numpy as jnp
 
+    # BNReLUAct wraps a plain BatchNorm2d in a `.bn` submodule
+    # (reference: deeplab_v3.py:308-332) — collapse that level.
+    sd = {k.replace("_bn.bn.", "_bn."): v for k, v in sd.items()}
+    is_atrous = any(k.startswith("backbone.layer1.") for k in sd)
     backbone_sd = {
         k[len("backbone.") :]: v
         for k, v in sd.items()
         if k.startswith("backbone.")
     }
-    params, batch_stats, loaded = _convert(
-        backbone_sd, variables["params"], variables.get("batch_stats", {})
-    )
+    if is_atrous:
+        params, batch_stats, loaded = _convert_atrous_backbone(
+            backbone_sd, variables["params"], variables.get("batch_stats", {})
+        )
+    else:
+        params, batch_stats, loaded = _convert(
+            backbone_sd, variables["params"], variables.get("batch_stats", {})
+        )
     hd_p = params.get("base_classifier", {})
     hd_s = batch_stats.get("base_classifier", {})
 

@@ -205,6 +205,64 @@ def test_bg_detector_parity(pair):
     )
 
 
+def test_atrous_encoder_parity():
+    """SDR ResNet_Atrous DeepLab: 5 backbone attentions, BN+ReLU momentum
+    3e-4, last-stage atrous multipliers (reference: networks/resnet_atrous.py,
+    deeplab_v3.py:52-57,72-75).  resnet50 keeps the suite fast; the block /
+    stage machinery is identical for resnet101."""
+    networks = load_reference_networks()
+    torch.manual_seed(1)
+    ref = networks.DeepLabV3(
+        norm="bn", atrous_encoder=True, pretrained_backbone=False
+    )
+    # reference hard-codes resnet101 for atrous; rebuild the backbone as
+    # resnet50 ([3,4,6,3], atrous [1,2,1]) through its own factory for speed
+    import importlib
+
+    ra = importlib.import_module("networks.resnet_atrous")
+    ref.backbone = ra.ResNet_Atrous(
+        ra.Bottleneck, [3, 4, 6, 3], atrous=[1, 2, 1], os=16
+    )
+    ref.classifier_head = ref.get_classification_head(7)
+    _randomize_norms(ref)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    net = create_network(
+        "deeplab",
+        num_classes=7,
+        norm="bn",
+        axis_name=None,
+        atrous_encoder=True,
+        backbone="resnet50",
+    )
+    x = np.random.RandomState(2).rand(2, CROP, CROP, 3).astype(np.float32)
+    variables = net.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(x),
+        train=False,
+    )
+    params, batch_stats, loaded = convert_reference_deeplab(sd, variables)
+    expected = len([k for k in sd if not k.endswith("num_batches_tracked")])
+    assert loaded == expected, f"only {loaded}/{expected} tensors converted"
+    out = net.apply(
+        {"params": params, "batch_stats": batch_stats}, jnp.asarray(x), train=False
+    )
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    with torch.no_grad():
+        logits_t, _, atts_t = ref(xt, return_attentions=True, return_penultimate=True)
+    assert len(out.attentions) == len(atts_t) == 6  # 5 backbone + ASPP
+    # randomized BN stats inflate activations to O(100) here, so compare
+    # relative (observed deltas <2e-3 relative)
+    for aj, at in zip(out.attentions, atts_t):
+        np.testing.assert_allclose(
+            np.asarray(aj), _to_nhwc(at), rtol=5e-3, atol=TOL
+        )
+    np.testing.assert_allclose(
+        np.asarray(out.logits), _to_nhwc(logits_t), rtol=5e-3, atol=TOL
+    )
+
+
 # ---------------------------------------------------------------------------
 # loss-term parity vs the reference's real training/loss_utils.py
 # ---------------------------------------------------------------------------
