@@ -296,7 +296,12 @@ class DataModule:
                 # padded duplicates must not count toward metrics
                 lbls = lbls.copy()
                 lbls[n_real:] = 255
-            yield transforms.eval_transform(imgs, lbls, table, crop=self.crop_size)
+            out = transforms.eval_transform(imgs, lbls, table, crop=self.crop_size)
+            # host-side real sample count: eval losses are sample-weighted
+            # (reference: lightning batch-size-weighted epoch means)
+            out = dict(out)
+            out["n_real"] = n_real
+            yield out
 
     def eval_task_range(self, up_to_task: int) -> List[int]:
         """Tasks evaluated after training task t: 0..t

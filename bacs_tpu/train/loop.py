@@ -299,14 +299,40 @@ class Trainer:
 
         max_iters = self._max_iters(task) * self.accumulate
         step_count = 0
-        start_epoch = self._resume_epoch + 1
+        steps_epoch = dm.steps_per_epoch(self.n_devices)
+        # mid-task resume restarts the SAME epoch and skips the batches the
+        # restored epoch_step says were already consumed (the per-epoch data
+        # order is deterministic); a full epoch_step means the epoch finished.
+        resume_skip = 0
+        if self._resume_epoch >= 0:
+            start_epoch = self._resume_epoch
+            resume_skip = int(self.state.epoch_step)
+            if resume_skip >= steps_epoch:
+                start_epoch += 1
+                resume_skip = 0
+        else:
+            start_epoch = 0
         self._resume_epoch = -1
+        # mid-epoch checkpoint cadence: twice per epoch like the reference
+        # (trainer.py:190-201), overridable via training.ckpt_every_steps
+        ckpt_every = int(
+            self.config["training"].get("ckpt_every_steps", 0)
+            or max(steps_epoch // 2, 1)
+        )
         pending: list = []
 
         def _dispatch_pending():
             nonlocal pending
             if not pending:
                 return None
+            if len(pending) < steps_per_dispatch:
+                # epoch tail: run the already-compiled single step instead of
+                # compiling a new scanned program per distinct tail length
+                m = None
+                for b in pending:
+                    self.state, m = train_step(self.state, b)
+                pending = []
+                return m
             stacked = {
                 k: jnp.stack([b[k] for b in pending]) for k in pending[0]
             }
@@ -316,10 +342,17 @@ class Trainer:
             return m
 
         for epoch in range(start_epoch, self._epochs_for(task_id)):
+            skip = resume_skip if epoch == start_epoch else 0
             self.state = self.state.replace(
-                epoch=jnp.asarray(epoch, jnp.int32)
+                epoch=jnp.asarray(epoch, jnp.int32),
+                epoch_step=jnp.asarray(skip, jnp.int32),
             )
-            for batch in dm.train_batches(epoch=epoch, n_devices=self.n_devices):
+            for i, batch in enumerate(
+                dm.train_batches(epoch=epoch, n_devices=self.n_devices)
+            ):
+                if i < skip:
+                    step_count += 1  # already consumed pre-crash
+                    continue
                 t0 = time.perf_counter()
                 if multi_step is not None:
                     pending.append(put_batch(batch))
@@ -353,6 +386,17 @@ class Trainer:
                             else batch["image"].shape[0]
                         )
                         self._timing["seconds"] += dt
+                if (
+                    self.save_checkpoints
+                    and ckpt_every
+                    and (i + 1) % ckpt_every == 0
+                    and (i + 1) < steps_epoch
+                ):
+                    from bacs_tpu.utils.checkpoint import save_task_checkpoint
+
+                    save_task_checkpoint(
+                        self.ckpt_dir, task_id, self.state, step="last"
+                    )
                 if step_count >= max_iters:
                     break
             if multi_step is not None and pending:
@@ -402,8 +446,9 @@ class Trainer:
             targets.append(("prev", task_id - 1))
         for prefix, t in targets:
             conf = jnp.zeros((dm.num_classes, dm.num_classes), jnp.int32)
-            losses = []
+            losses, weights = [], []
             for batch in dm.eval_batches(t, n_devices=self.n_devices):
+                weights.append(batch.pop("n_real", batch["image"].shape[0]))
                 conf, loss = eval_step(self.state, conf, put_batch(batch))
                 losses.append(float(loss))
             metrics = detailed_iou_metrics(
@@ -414,7 +459,9 @@ class Trainer:
             self.logger.log_metrics(
                 {
                     f"{prefix}/mIoU": metrics["mIoU"],
-                    f"{prefix}/loss": float(np.mean(losses)),
+                    # sample-weighted mean: padded tail batches count only
+                    # their real samples (reference: PL batch-size weighting)
+                    f"{prefix}/loss": float(np.average(losses, weights=weights)),
                     f"{prefix}/epoch": epoch,
                 }
             )
@@ -428,8 +475,9 @@ class Trainer:
         for d in dm.eval_task_range(task_id):
             conf = jnp.zeros((dm.num_classes, dm.num_classes), jnp.int32)
             conf_aux = jnp.zeros((2, 2), jnp.int32)
-            losses = []
+            losses, weights = [], []
             for batch in dm.eval_batches(d, n_devices=self.n_devices):
+                weights.append(batch.pop("n_real", batch["image"].shape[0]))
                 batch = put_batch(batch)
                 if first_batch is None:
                     first_batch = batch
@@ -449,7 +497,9 @@ class Trainer:
                 f"test.{d}/Task {task_id}/" if self.continual else f"test.{d}/"
             )
             result = {prefix + k: v for k, v in metrics.items()}
-            result[prefix + "loss"] = float(np.mean([float(l) for l in losses]))
+            result[prefix + "loss"] = float(
+                np.average([float(l) for l in losses], weights=weights)
+            )
             if self.use_bg_detector:
                 from bacs_tpu.train.ood import aux_bg_summary
 

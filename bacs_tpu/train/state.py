@@ -47,6 +47,11 @@ class TrainState:
     # epoch bookkeeping for the seen-detector weight schedule
     # (reference: base_loss.py:241-250 uses epoch/max_epochs)
     epoch: Array = struct.field(default_factory=lambda: jnp.zeros((), jnp.int32))
+    # batches consumed in the current epoch — mid-epoch checkpoint/resume
+    # granularity (reference saves 2x/epoch, trainer.py:190-201)
+    epoch_step: Array = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32)
+    )
 
 
 class TaskInfo(struct.PyTreeNode):

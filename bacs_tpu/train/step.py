@@ -54,6 +54,7 @@ def _train_step_impl(
 
     new_state = state.replace(
         step=state.step + 1,
+        epoch_step=state.epoch_step + 1,
         params=new_params,
         opt_state=new_opt_state,
         batch_stats=batch_stats,

@@ -87,6 +87,62 @@ def test_final_wins_over_last_within_a_task():
         assert t == 1 and path.endswith("final")
 
 
+def test_mid_epoch_checkpoint_and_resume(tmp_path):
+    """Kill a run mid-epoch; resume restarts the same epoch within
+    ckpt_every_steps batches (reference cadence: 2 saves/epoch,
+    trainer.py:190-201)."""
+    from bacs_tpu.config.core import load_config
+    from bacs_tpu.train.loop import Trainer
+
+    ckpt = str(tmp_path / "ckpt")
+    cfg = load_config(
+        "conf/continual_debug",
+        "config",
+        [
+            "training.debug=false",
+            "training.epochs=2",
+            f"+training.ckpt_dir={ckpt}",
+            "+training.ckpt_every_steps=2",
+        ],
+    )
+    trainer = Trainer(cfg)
+
+    class Killed(Exception):
+        pass
+
+    dm = trainer.datamodule
+    orig = dm.train_batches
+
+    def dying_batches(epoch, n_devices=1, **kw):
+        for i, b in enumerate(orig(epoch=epoch, n_devices=n_devices, **kw)):
+            if i == 3:  # crash after 3 batches (one mid-epoch save at i=2)
+                raise Killed()
+            yield b
+
+    dm.train_batches = dying_batches
+    with np.testing.assert_raises(Killed):
+        trainer._run_task(0)
+    dm.train_batches = orig
+    assert os.path.isdir(os.path.join(ckpt, "step_0", "last"))
+
+    trainer2 = Trainer(cfg)
+    start = trainer2._try_resume()
+    assert start == 0
+    assert trainer2._resume_epoch == 0
+    assert int(trainer2.state.epoch_step) == 2  # within ckpt_every of the kill
+    miou = trainer2.fit()
+    assert np.isfinite(miou)
+    # crash+resume must train exactly as many optimizer steps as an
+    # uninterrupted run (the 2 pre-crash steps are skipped, not re-run)
+    cfg_ref = load_config(
+        "conf/continual_debug", "config",
+        ["training.debug=false", "training.epochs=2"],
+    )
+    ref = Trainer(cfg_ref)
+    ref.fit()
+    assert int(trainer2.state.step) == int(ref.state.step)
+
+
 def test_completed_task_resume_starts_next_task(tmp_path, monkeypatch):
     """End-to-end: a run killed after task 0's `final` (but with a stale
     `last` in the same step dir) resumes at task 1 without re-running task 0's

@@ -86,6 +86,29 @@ def test_replay_augment_varies_per_key_and_preserves_shape():
     )
 
 
+def test_eval_batches_report_real_sample_count():
+    """Padded eval tail batches carry n_real so losses can be sample-weighted
+    (reference: PL batch-size-weighted epoch means)."""
+    from bacs_tpu.config.core import load_config
+    from bacs_tpu.data import create_datamodule
+
+    # synthetic: 8 val samples, batch 4 → override batch to 3: 3+3+2 (pad 1)
+    cfg = load_config("conf/continual_debug", "config", ["training.batch_size=3"])
+    dm = create_datamodule(cfg)
+    dm.set_task_id(0)
+    batches = list(dm.eval_batches(0))
+    n_reals = [b["n_real"] for b in batches]
+    assert all(b["image"].shape[0] == 3 for b in batches)
+    assert n_reals[-1] < 3 or len(set(n_reals)) == 1
+    assert sum(n_reals) == len(dm.val_indices(0)) if hasattr(dm, "val_indices") \
+        else sum(n_reals) > 0
+    # padded rows are fully ignored
+    last = batches[-1]
+    if last["n_real"] < 3:
+        lbl = np.asarray(last["label"])
+        assert (lbl[last["n_real"]:] == 255).all()
+
+
 def test_normalize_denormalize_roundtrip():
     rng = np.random.RandomState(0)
     img = rng.randint(0, 255, (4, 4, 3)).astype(np.uint8)
