@@ -333,16 +333,35 @@ def create_datamodule(config) -> DataModule:
         debug=bool(tcfg.get("debug", False)),
         sweep=bool(tcfg.get("sweep", False)),
     )
+    # gated download orchestration (reference: prepare_data hooks; this env
+    # has no egress, so failures raise DownloadError with layout instructions)
+    want_download = bool(inner.get("download", False))
     if "voc" in target:
+        if want_download:
+            from bacs_tpu.data.download import download_voc
+
+            download_voc(root)
         train = make_voc_source(root, "train", crop)
         val = make_voc_source(root, "val", crop)
         import os
 
         common["cache_dir"] = os.path.expanduser(os.path.join(root, "cache"))
     elif "ade" in target:
+        if want_download:
+            from bacs_tpu.data.download import download_ade20k
+
+            download_ade20k(root)
         train = make_ade_source(root, "train", crop)
         val = make_ade_source(root, "val", crop)
     elif "cityscape" in target:
+        if want_download:
+            from bacs_tpu.data.download import download_cityscapes
+
+            download_cityscapes(
+                root,
+                str(inner.get("username", "")),
+                str(inner.get("password", "")),
+            )
         train = make_cityscapes_source(root, "train", crop)
         val = make_cityscapes_source(root, "val", crop)
         n_cities = inner.get("n_cities", None)

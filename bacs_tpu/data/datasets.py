@@ -147,6 +147,71 @@ class SyntheticSource:
         return self.load(i)[1]
 
 
+# ADE20K label names (published dataset metadata;
+# reference: dataset/ade20k.py:56-208 MAP_LABELS)
+ADE20K_CLASSES = [
+    'background', 'wall', 'building;edifice', 'sky', 'floor;flooring',
+    'tree', 'ceiling', 'road;route', 'bed', 'windowpane;window', 'grass',
+    'cabinet', 'sidewalk;pavement', 'person', 'earth;ground',
+    'door;double;door', 'table', 'mountain;mount', 'plant;flora;plant;life',
+    'curtain;drape;drapery;mantle;pall', 'chair',
+    'car;auto;automobile;machine;motorcar', 'water', 'painting;picture',
+    'sofa;couch;lounge', 'shelf', 'house', 'sea', 'mirror',
+    'rug;carpet;carpeting', 'field', 'armchair', 'seat', 'fence;fencing',
+    'desk', 'rock;stone', 'wardrobe;closet;press', 'lamp',
+    'bathtub;bathing;tub;bath;tub', 'railing;rail', 'cushion',
+    'base;pedestal;stand', 'box', 'column;pillar', 'signboard;sign',
+    'chest;of;drawers;chest;bureau;dresser', 'counter', 'sand', 'sink',
+    'skyscraper', 'fireplace;hearth;open;fireplace', 'refrigerator;icebox',
+    'grandstand;covered;stand', 'path', 'stairs;steps', 'runway',
+    'case;display;case;showcase;vitrine',
+    'pool;table;billiard;table;snooker;table', 'pillow',
+    'screen;door;screen', 'stairway;staircase', 'river', 'bridge;span',
+    'bookcase', 'blind;screen', 'coffee;table;cocktail;table',
+    'toilet;can;commode;crapper;pot;potty;stool', 'flower', 'book', 'hill',
+    'bench', 'countertop', 'stove;kitchen;stove;range;kitchen;cooking;stove',
+    'palm;palm;tree', 'kitchen;island', 'computer', 'swivel;chair', 'boat',
+    'bar', 'arcade;machine', 'hovel;hut;hutch;shack;shanty',
+    'bus;coach;double-decker;passenger;vehicle', 'towel',
+    'light;light;source', 'truck;motortruck', 'tower',
+    'chandelier;pendant;pendent', 'awning;sunshade;sunblind',
+    'streetlight;street;lamp', 'booth;cubicle;stall;kiosk', 'television',
+    'airplane;aeroplane;plane', 'dirt;track',
+    'apparel;wearing;apparel;dress;clothes', 'pole', 'land;ground;soil',
+    'bannister;banister;balustrade;balusters;handrail',
+    'escalator;moving;staircase;moving;stairway',
+    'ottoman;pouf;pouffe;puff;hassock', 'bottle', 'buffet;counter;sideboard',
+    'poster;posting;placard;notice;bill;card', 'stage', 'van', 'ship',
+    'fountain', 'conveyer;belt;conveyor;belt;conveyor;transporter', 'canopy',
+    'washer;automatic;washer;washing;machine', 'plaything;toy',
+    'swimming;pool;swimming;bath;natatorium', 'stool', 'barrel;cask',
+    'basket;handbasket', 'waterfall;falls', 'tent;collapsible;shelter',
+    'bag', 'minibike;motorbike', 'cradle', 'oven', 'ball', 'food;solid;food',
+    'step;stair', 'tank;storage;tank', 'trade;name;brand;name;brand;marque',
+    'microwave;microwave;oven', 'pot;flowerpot',
+    'animal;animate;being;beast;brute;creature;fauna',
+    'bicycle;bike;wheel;cycle', 'lake',
+    'dishwasher;dish;washer;dishwashing;machine',
+    'screen;silver;screen;projection;screen', 'blanket;cover', 'sculpture',
+    'hood;exhaust;hood', 'sconce', 'vase',
+    'traffic;light;traffic;signal;stoplight', 'tray',
+    'trash;can;garbage;wastebin;bin;ashbin;dustbin;barrel;bin', 'fan',
+    'pier;wharf;wharfage;dock', 'crt;screen', 'plate',
+    'monitor;monitoring;device', 'bulletin;board;notice;board', 'shower',
+    'radiator', 'glass;drinking;glass', 'clock', 'flag',
+]
+
+
+# Cityscapes trainid names (published dataset metadata;
+# reference: dataset/cityscape_dataset.py:50-72 map_labels)
+CITYSCAPES_CLASSES = [
+    'background', 'road', 'sidewalk', 'building', 'wall', 'fence', 'pole',
+    'traffic light', 'traffic sign', 'vegetation', 'terrain', 'sky',
+    'person', 'rider', 'car', 'truck', 'bus', 'train', 'motorcycle',
+    'bicycle',
+]
+
+
 def make_voc_source(root: str, split: str, size: int) -> FolderSource:
     """VOC2012-aug (reference: dataset/voc.py:92-147): SegmentationClassAug
     masks with train_aug.txt / val list files."""
@@ -160,6 +225,10 @@ def make_voc_source(root: str, split: str, size: int) -> FolderSource:
     if split == "train":
         list_file = os.path.join(voc_root, "ImageSets", "Segmentation", "train_aug.txt")
         mask_dir = os.path.join(voc_root, "SegmentationClassAug")
+        if not os.path.exists(list_file):
+            # the reference downloader drops train_aug.txt at the voc root
+            # (dataset/voc.py:100-105)
+            list_file = os.path.join(voc_root, "train_aug.txt")
         if not os.path.exists(list_file):
             list_file = os.path.join(voc_root, "ImageSets", "Segmentation", "train.txt")
             mask_dir = os.path.join(voc_root, "SegmentationClass")
@@ -190,7 +259,7 @@ def make_ade_source(root: str, split: str, size: int) -> FolderSource:
     lbls = [
         os.path.join(ann_dir, os.path.splitext(n)[0] + ".png") for n in names
     ]
-    class_names = ["background"] + [f"ade_{i}" for i in range(1, 151)]
+    class_names = list(ADE20K_CLASSES)
     return FolderSource(imgs, lbls, size, class_names)
 
 
@@ -216,7 +285,7 @@ def make_cityscapes_source(root: str, split: str, size: int) -> FolderSource:
                     name.replace("leftImg8bit", "gtFine_labelIds"),
                 )
             )
-    class_names = ["background"] + [f"cs_{i}" for i in range(1, 20)]
+    class_names = list(CITYSCAPES_CLASSES)
     src = FolderSource(
         imgs, lbls, size, class_names,
         label_remap=CITYSCAPES_ID_TO_TRAINID, remap_default=0,
