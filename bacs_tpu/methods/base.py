@@ -290,9 +290,18 @@ class Method:
             )
         else:
             sem = out.sem_logits[..., : ctx.n_cur]
-            if class_weights is None and sem.shape[1] < labels.shape[1]:
-                # fused upsample+CE — the full-res logits never materialize
-                # (ops/upsample_ce.py; identical value/gradient)
+            import os
+
+            use_fused_ce = (
+                class_weights is None
+                and sem.shape[1] < labels.shape[1]
+                and os.environ.get("BACS_FUSED_UPSAMPLE_CE", "1") != "0"
+            )
+            if use_fused_ce:
+                # fused upsample+CE Pallas kernel (ops/upsample_ce.py) — the
+                # full-res logits never materialize.  In the full train step
+                # the XLA-composed resize+CE costs +66 ms (memory-pressure
+                # scheduling); the kernel costs ~4 ms (measured 512² b16).
                 from bacs_tpu.ops.upsample_ce import upsampled_cross_entropy
 
                 loss = upsampled_cross_entropy(

@@ -2,26 +2,33 @@
 
 The reference (and any naive port) materializes [N, 512, 512, C] float32
 logits for the loss (reference: networks/deeplab_v3.py:158-160 upsample →
-F.cross_entropy).  The optimized-HLO audit of our train step showed ~30
-tensors of that shape (0.35 GB each at batch 16) — upsample, log-softmax,
-one-hot gather and their transposes — making the step HBM-bound at 83 GB of
-traffic.
+F.cross_entropy).  Inside the real train step the XLA-composed
+resize+log-softmax+gather path costs +66 ms at 512² batch 16 (memory-pressure
+scheduling materializes the 0.35 GB tensor repeatedly); this op computes
+CE(bilinear_upsample(sem_logits), labels) tile-by-tile in VMEM instead.
 
-This op computes  CE(bilinear_upsample(sem_logits), labels)  without ever
-materializing the upsampled logits:
+Decomposition (v2 kernel, round 2):
 
-    forward:  per output-row block, interpolate a [R, W, C] tile in VMEM from
-              the (tiny) sem-logits via two small matmuls, log-sum-exp over
-              C, gather the label logit, accumulate (loss_sum, valid_count).
-    backward: d sem = Upᵀ(softmax − onehot), the transpose interpolation
-              accumulated straight into the per-sample output block.
+    outside:  z = W-interp(sem)  →  [N, h, c, W]  (tiny: the W upsample on
+              the SMALL h side, one XLA einsum, ~50 MB f32 at 512²/b16),
+              channels padded to the sublane multiple with −1e30 so the
+              softmax needs no channel masking in-kernel.
+    kernel:   per 32-output-row block, H-interp only the ~16-row input
+              window that block actually reads (the dense [R, h] interp
+              matrix is 8×-upsampling sparse — block-local slicing cuts the
+              MXU work 4-12×), then log-sum-exp + label gather over
+              [R, c, W] tiles with channels on SUBLANES (c≈24, not a
+              128-lane pad: 5× less VPU work than channels-on-lanes).
+    backward: d tile = softmax − onehot recomputed per block, transposed
+              H-interp accumulated into dz; the W-interp transpose runs
+              outside as one einsum.
 
-Bilinear weights are separable: Up = K_H ⊗ K_W with each K row holding two
-half-pixel-center weights, so interpolation rides the MXU.
+Layout note: every in-kernel reshape merges/splits leading dims or
+tile-aligned minors only (Mosaic relayout-free).
 
 Semantics match ops/interpolate.resize_bilinear(align_corners=False) +
-ops/losses.cross_entropy (mean over non-ignore pixels) exactly; a jnp
-reference path backs non-TPU platforms and the unit tests.
+ops/losses.cross_entropy (mean over non-ignore pixels); a jnp reference path
+backs non-TPU platforms and the unit tests.
 """
 
 from __future__ import annotations
@@ -36,7 +43,7 @@ import numpy as np
 Array = jax.Array
 
 NEG = -1e30
-ROW_BLOCK = 16  # output rows per grid step
+ROW_BLOCK = 32  # output rows per grid step
 
 
 def _interp_matrix(out_dim: int, in_dim: int) -> np.ndarray:
@@ -54,6 +61,29 @@ def _interp_matrix(out_dim: int, in_dim: int) -> np.ndarray:
     k[np.arange(out_dim), lo] += 1.0 - w
     k[np.arange(out_dim), hi] += w
     return k
+
+
+def _block_kh(H: int, h: int, R: int):
+    """Block-local H-interp: (starts[j], kh_blocks[j, R, hb]).
+
+    Row block j of the output reads only a short contiguous input-row window
+    (8× upsampling → ~R/8+2 rows); `starts` are static sublane-aligned
+    offsets, `kh_blocks` the dense interp slice for that window.
+    """
+    k = _interp_matrix(H, h)
+    n_j = H // R
+    hb = int(np.ceil(R * h / H)) + 2 + 8  # span + alignment slack
+    hb = min(((hb + 15) // 16) * 16, h)
+    starts = np.zeros((n_j,), np.int32)
+    blocks = np.zeros((n_j, R, hb), np.float32)
+    for j in range(n_j):
+        rows = k[j * R : (j + 1) * R]
+        nz = np.nonzero(rows.any(axis=0))[0]
+        start = min(int(nz.min()) // 8 * 8, h - hb)
+        assert int(nz.max()) < start + hb
+        starts[j] = start
+        blocks[j] = rows[:, start : start + hb]
+    return jnp.asarray(starts), jnp.asarray(blocks)
 
 
 # ---------------------------------------------------------------------------
@@ -77,17 +107,7 @@ def _ce_sums_jnp(sem, labels, kh, kw, ignore_index):
 # ---------------------------------------------------------------------------
 
 
-def _interp_tile(sem_ref, kh_ref, kw_ref):
-    """[R, W, C] interpolated tile via two small matmuls (MXU)."""
-    sem = sem_ref[0].astype(jnp.float32)  # [h, w, C]
-    ky = kh_ref[...]  # [R, h]
-    t1 = jnp.einsum("Rh,hwc->Rwc", ky, sem, preferred_element_type=jnp.float32)
-    return jnp.einsum(
-        "Ww,Rwc->RWc", kw_ref[...], t1, preferred_element_type=jnp.float32
-    )
-
-
-def _fwd_kernel(sem_ref, labels_ref, kh_ref, kw_ref, out_ref, *, c_real):
+def _fwd_kernel(starts_ref, z_ref, labels_ref, kh_ref, out_ref, *, hb):
     """grid = (N, H // ROW_BLOCK); out_ref: [N, 8, 128] — (loss_sum, count)
     live at [n, 0, 0] / [n, 0, 1], the rest pads the min TPU tile."""
     import jax.experimental.pallas as pl
@@ -98,19 +118,22 @@ def _fwd_kernel(sem_ref, labels_ref, kh_ref, kw_ref, out_ref, *, c_real):
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    tile = _interp_tile(sem_ref, kh_ref, kw_ref)  # [R, W, C]
+    start = starts_ref[j]
+    zs = z_ref[0, pl.ds(start, hb)]  # [hb, c, W]
+    ky = kh_ref[0]  # [R, hb]
+    tile = jnp.einsum("Rh,hcW->RcW", ky, zs, preferred_element_type=jnp.float32)
     labels = labels_ref[0]  # [R, W]
-    c_pad = tile.shape[-1]
-    ch = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c_pad), 2)
-    cmask = ch < c_real
-    masked = jnp.where(cmask, tile, NEG)
-    m = jnp.max(masked, axis=-1)
-    sumexp = jnp.sum(jnp.where(cmask, jnp.exp(masked - m[..., None]), 0.0), -1)
-    lse = m + jnp.log(sumexp)
+    c_pad = tile.shape[1]
+    # padded channels were filled with −1e30 upstream: exp(pad − m) == 0,
+    # so no channel mask is needed anywhere
+    m = jnp.max(tile, axis=1)
+    e = jnp.exp(tile - m[:, None, :])
+    lse = m + jnp.log(jnp.sum(e, axis=1))
     valid = labels != 255
     safe = jnp.where(valid, labels, 0)
-    onehot = ch == safe[..., None]
-    lab = jnp.sum(jnp.where(onehot, tile, 0.0), axis=-1)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad, 1), 1)
+    onehot = ch == safe[:, None, :]
+    lab = jnp.sum(jnp.where(onehot, tile, 0.0), axis=1)
     loss_sum = jnp.sum(jnp.where(valid, lse - lab, 0.0))
     count = jnp.sum(valid.astype(jnp.float32))
     # scalar stores to VMEM are not lowerable — write a masked [8,128] tile
@@ -122,45 +145,45 @@ def _fwd_kernel(sem_ref, labels_ref, kh_ref, kw_ref, out_ref, *, c_real):
     out_ref[0] += upd
 
 
-def _bwd_kernel(sem_ref, labels_ref, kh_ref, kw_ref, g_ref, dsem_ref, *, c_real):
+def _bwd_kernel(starts_ref, z_ref, labels_ref, kh_ref, g_ref, dz_ref, *, hb):
     import jax.experimental.pallas as pl
 
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
-        dsem_ref[...] = jnp.zeros_like(dsem_ref)
+        dz_ref[...] = jnp.zeros_like(dz_ref)
 
-    tile = _interp_tile(sem_ref, kh_ref, kw_ref)
+    start = starts_ref[j]
+    zs = z_ref[0, pl.ds(start, hb)]
+    ky = kh_ref[0]
+    tile = jnp.einsum("Rh,hcW->RcW", ky, zs, preferred_element_type=jnp.float32)
     labels = labels_ref[0]
-    c_pad = tile.shape[-1]
-    ch = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c_pad), 2)
-    cmask = ch < c_real
-    masked = jnp.where(cmask, tile, NEG)
-    m = jnp.max(masked, axis=-1, keepdims=True)
-    e = jnp.where(cmask, jnp.exp(masked - m), 0.0)
-    softmax = e / jnp.sum(e, axis=-1, keepdims=True)
+    c_pad = tile.shape[1]
+    m = jnp.max(tile, axis=1, keepdims=True)
+    e = jnp.exp(tile - m)
+    softmax = e / jnp.sum(e, axis=1, keepdims=True)
     valid = labels != 255
     safe = jnp.where(valid, labels, 0)
-    onehot = (ch == safe[..., None]).astype(jnp.float32)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad, 1), 1)
+    onehot = (ch == safe[:, None, :]).astype(jnp.float32)
     g = g_ref[0, 0]
-    dtile = (softmax - onehot) * (valid.astype(jnp.float32) * g)[..., None]
-    # transpose-interp: dsem += K_Hᵀ (K_Wᵀ dtile)
-    dt1 = jnp.einsum(
-        "Ww,RWc->Rwc", kw_ref[...], dtile, preferred_element_type=jnp.float32
-    )
-    ky = kh_ref[...]
-    dsem_ref[0] += jnp.einsum(
-        "Rh,Rwc->hwc", ky, dt1, preferred_element_type=jnp.float32
-    ).astype(dsem_ref.dtype)
+    dtile = (softmax - onehot) * (valid.astype(jnp.float32) * g)[:, None, :]
+    upd = jnp.einsum("Rh,RcW->hcW", ky, dtile, preferred_element_type=jnp.float32)
+    dz_ref[0, pl.ds(start, hb)] += upd
 
 
-def _pad_c(x, mult=128):
-    c = x.shape[-1]
-    pad = (-c) % mult
+def _pad_c_neg(z: Array, mult: int = 8) -> Array:
+    pad = (-z.shape[2]) % mult
     if pad:
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-    return x
+        z = jnp.pad(z, ((0, 0), (0, 0), (0, pad), (0, 0)), constant_values=NEG)
+    return z
+
+
+def _w_interp(sem: Array, kw: Array) -> Array:
+    """[n,h,w,c] → [n,h,c,W] f32 with −1e30 channel padding."""
+    z = jnp.einsum("Ww,nhwc->nhcW", kw, sem.astype(jnp.float32))
+    return _pad_c_neg(z)
 
 
 def _ce_sums_pallas(sem, labels, kh, kw, c_real):
@@ -169,25 +192,26 @@ def _ce_sums_pallas(sem, labels, kh, kw, c_real):
 
     n, h, w, _ = sem.shape
     H, W = kh.shape[0], kw.shape[0]
-    sem_p = _pad_c(sem)
-    c_pad = sem_p.shape[-1]
-    n_blocks = H // ROW_BLOCK
+    z = _w_interp(sem, kw)
+    c_pad = z.shape[2]
+    starts, kh_blocks = _block_kh(H, h, ROW_BLOCK)
+    hb = kh_blocks.shape[2]
     out = pl.pallas_call(
-        partial(_fwd_kernel, c_real=c_real),
+        partial(_fwd_kernel, hb=hb),
         out_shape=jax.ShapeDtypeStruct((n, 8, 128), jnp.float32),
-        grid=(n, n_blocks),
+        grid=(n, H // ROW_BLOCK),
         in_specs=[
-            pl.BlockSpec((1, h, w, c_pad), lambda i, j: (i, 0, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, c_pad, W), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ROW_BLOCK, W), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLOCK, h), lambda i, j: (j, 0),
+            pl.BlockSpec((1, ROW_BLOCK, hb), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 8, 128), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-    )(sem_p, labels.astype(jnp.int32), kh, kw)
+    )(starts, z, labels.astype(jnp.int32), kh_blocks)
     return jnp.sum(out[:, 0, 0]), jnp.sum(out[:, 0, 1])
 
 
@@ -197,27 +221,30 @@ def _dsem_pallas(sem, labels, kh, kw, c_real, g):
 
     n, h, w, _ = sem.shape
     H, W = kh.shape[0], kw.shape[0]
-    sem_p = _pad_c(sem)
-    c_pad = sem_p.shape[-1]
-    n_blocks = H // ROW_BLOCK
-    dsem_p = pl.pallas_call(
-        partial(_bwd_kernel, c_real=c_real),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, c_pad), sem.dtype),
-        grid=(n, n_blocks),
+    z = _w_interp(sem, kw)
+    c_pad = z.shape[2]
+    starts, kh_blocks = _block_kh(H, h, ROW_BLOCK)
+    hb = kh_blocks.shape[2]
+    dz = pl.pallas_call(
+        partial(_bwd_kernel, hb=hb),
+        out_shape=jax.ShapeDtypeStruct((n, h, c_pad, W), jnp.float32),
+        grid=(n, H // ROW_BLOCK),
         in_specs=[
-            pl.BlockSpec((1, h, w, c_pad), lambda i, j: (i, 0, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, c_pad, W), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ROW_BLOCK, W), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLOCK, h), lambda i, j: (j, 0),
+            pl.BlockSpec((1, ROW_BLOCK, hb), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, w, c_pad), lambda i, j: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, h, c_pad, W), lambda i, j: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-    )(sem_p, labels.astype(jnp.int32), kh, kw, g.reshape(1, 1))
-    return dsem_p[..., : sem.shape[-1]]
+    )(starts, z, labels.astype(jnp.int32), kh_blocks, g.reshape(1, 1))
+    # transpose W-interp outside (one einsum on the small side)
+    dsem = jnp.einsum("Ww,nhcW->nhwc", kw, dz[:, :, : sem.shape[-1], :])
+    return dsem.astype(sem.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -232,7 +259,11 @@ def _use_pallas(sem, out_hw) -> bool:
     except Exception:  # pragma: no cover
         return False
     h = sem.shape[1]
-    return out_hw[0] % ROW_BLOCK == 0 and out_hw[0] >= h and out_hw[1] >= sem.shape[2]
+    return (
+        out_hw[0] % ROW_BLOCK == 0
+        and out_hw[0] >= h
+        and out_hw[1] >= sem.shape[2]
+    )
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))

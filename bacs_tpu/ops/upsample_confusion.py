@@ -21,11 +21,30 @@ import jax.numpy as jnp
 
 from bacs_tpu.ops.confusion import confusion_matrix
 from bacs_tpu.ops.interpolate import resize_bilinear
-from bacs_tpu.ops.upsample_ce import ROW_BLOCK, _interp_matrix, _interp_tile, _pad_c
+from bacs_tpu.ops.upsample_ce import _interp_matrix
 
 Array = jax.Array
 
 NEG = -1e30
+ROW_BLOCK = 16  # output rows per grid step (this kernel's channels-on-lanes tiling)
+
+
+def _pad_c(x: Array, mult: int = 128) -> Array:
+    c = x.shape[-1]
+    pad = (-c) % mult
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    return x
+
+
+def _interp_tile(sem_ref, kh_ref, kw_ref):
+    """[R, W, C] interpolated tile via two small matmuls (MXU)."""
+    sem = sem_ref[0].astype(jnp.float32)  # [h, w, C]
+    ky = kh_ref[...]  # [R, h]
+    t1 = jnp.einsum("Rh,hwc->Rwc", ky, sem, preferred_element_type=jnp.float32)
+    return jnp.einsum(
+        "Ww,Rwc->RWc", kw_ref[...], t1, preferred_element_type=jnp.float32
+    )
 
 
 def _conf_jnp(sem, labels, out_hw, num_classes, ignore_index):
