@@ -154,6 +154,55 @@ def test_continual_transeg_with_transformer_learner():
     assert tokens.shape[0] == 4  # full allocation
 
 
+def test_continual_mib_runs():
+    """MiB: UCE + UKD vs prev model through the full task loop
+    (reference: loss/mib.py:70-84)."""
+    cfg = _config({"_target_": "loss.MiB"})
+    trainer = Trainer(cfg)
+    miou = trainer.fit()
+    assert 0.0 <= miou <= 1.0
+    assert trainer.state.prev_params is not None  # teacher installed
+
+
+def test_continual_plop_runs():
+    """PLOP: median-entropy pseudo-labels + local POD
+    (reference: loss/plop_loss.py)."""
+    cfg = _config({"_target_": "loss.PlopLoss"})
+    trainer = Trainer(cfg)
+    miou = trainer.fit()
+    assert 0.0 <= miou <= 1.0
+    assert trainer.state.plop_thresholds is not None
+
+
+def test_continual_icarl_runs():
+    """iCaRL: BCE with distilled old-class targets
+    (reference: loss/icarl_loss.py)."""
+    cfg = _config({"_target_": "loss.IcarlLoss"})
+    trainer = Trainer(cfg)
+    miou = trainer.fit()
+    assert 0.0 <= miou <= 1.0
+
+
+def test_continual_sdr_atrous_encoder_runs():
+    """SDR with the real ResNet_Atrous encoder through the Trainer: 6
+    attention maps (5 backbone + ASPP), sync-BN momentum 3e-4
+    (reference: +network.atrous_encoder=true)."""
+    cfg = _config(
+        {"_target_": "loss.SDR"},
+        learner={"_target_": "learner.SingleHeadLearner"},
+    )
+    cfg["network"] = {
+        "_target_": "networks.DeepLabV3",
+        "backbone": "resnet50",  # atrous variants exist for rn50/101/152 only
+        "atrous_encoder": True,
+    }
+    trainer = Trainer(cfg)
+    model = trainer._make_model(trainer._task_info(0))
+    assert model.atrous_encoder
+    miou = trainer.fit()
+    assert 0.0 <= miou <= 1.0
+
+
 def test_bacs_mixup_path_runs():
     cfg = _config(
         {
