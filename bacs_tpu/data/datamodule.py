@@ -186,6 +186,13 @@ class DataModule:
     # ------------------------------------------------------------------
 
     def _gather(self, source, indices) -> Dict[str, np.ndarray]:
+        # native parallel decode for file-backed sources (C++ thread pool,
+        # native/fastdecode.cpp); PIL patches any failed slot
+        batch = getattr(source, "load_batch", None)
+        if batch is not None:
+            out = batch([int(i) for i in indices])
+            if out is not None:
+                return out
         imgs, lbls = [], []
         for i in indices:
             img, lbl = source.load(int(i))

@@ -88,6 +88,30 @@ class FolderSource:
             lbl = self._table[lbl]
         return img, lbl
 
+    def load_batch(self, indices):
+        """Parallel native decode of a whole batch (native/fastdecode.cpp);
+        returns None (→ caller's PIL path) when the library is unavailable,
+        and patches individual decode failures via PIL."""
+        from bacs_tpu.data import native_decode
+
+        out = native_decode.decode_batch(
+            [self.image_paths[i] for i in indices],
+            [self.label_paths[i] for i in indices],
+            self.size,
+        )
+        if out is None:
+            return None
+        imgs, lbls, failed = out
+        for k in np.nonzero(failed)[0]:
+            imgs[k], lbls[k] = _load_pair(
+                self.image_paths[indices[k]],
+                self.label_paths[indices[k]],
+                self.size,
+            )
+        if self._table is not None:
+            lbls = self._table[lbls]
+        return imgs, lbls
+
     def load_label(self, i: int) -> np.ndarray:
         from PIL import Image
 
