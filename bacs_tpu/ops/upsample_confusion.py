@@ -2,10 +2,13 @@
 
 Evaluation's twin of ops/upsample_ce.py: the confusion matrix is computed
 tile-by-tile in VMEM directly from os-16 sem-logits — the full-resolution
-logits and the [N, H, W] prediction map never reach HBM.  Per tile, the
-interpolated [R, W, C] logits argmax into predictions, and the update is a
-one-hotᵀ·one-hot matmul accumulated into a single [C_pad, C_pad] output
-block revisited by every grid step.
+logits and the [N, H, W] prediction map never reach HBM.
+
+Same decomposition as the v2 CE kernel: W-interp hoisted outside (one XLA
+einsum on the small h side, channels −1e30-padded), block-local H-interp
+windows, interpolation + argmax over [R, c, W] tiles with channels on
+SUBLANES.  Only the one-hotᵀ·one-hot confusion contraction uses a
+channels-on-lanes [R·W, C_pad] layout (two compares + one MXU matmul).
 
 jnp fallback keeps CPU/tests exact; semantics match
 argmax(resize_bilinear(sem)) + ops/confusion.confusion_matrix.
@@ -21,30 +24,16 @@ import jax.numpy as jnp
 
 from bacs_tpu.ops.confusion import confusion_matrix
 from bacs_tpu.ops.interpolate import resize_bilinear
-from bacs_tpu.ops.upsample_ce import _interp_matrix
+from bacs_tpu.ops.upsample_ce import (
+    ROW_BLOCK,
+    _block_kh,
+    _interp_matrix,
+    _w_interp,
+)
 
 Array = jax.Array
 
 NEG = -1e30
-ROW_BLOCK = 16  # output rows per grid step (this kernel's channels-on-lanes tiling)
-
-
-def _pad_c(x: Array, mult: int = 128) -> Array:
-    c = x.shape[-1]
-    pad = (-c) % mult
-    if pad:
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-    return x
-
-
-def _interp_tile(sem_ref, kh_ref, kw_ref):
-    """[R, W, C] interpolated tile via two small matmuls (MXU)."""
-    sem = sem_ref[0].astype(jnp.float32)  # [h, w, C]
-    ky = kh_ref[...]  # [R, h]
-    t1 = jnp.einsum("Rh,hwc->Rwc", ky, sem, preferred_element_type=jnp.float32)
-    return jnp.einsum(
-        "Ww,Rwc->RWc", kw_ref[...], t1, preferred_element_type=jnp.float32
-    )
 
 
 def _conf_jnp(sem, labels, out_hw, num_classes, ignore_index):
@@ -53,7 +42,9 @@ def _conf_jnp(sem, labels, out_hw, num_classes, ignore_index):
     return confusion_matrix(preds, labels, num_classes, ignore_index)
 
 
-def _conf_kernel(sem_ref, labels_ref, kh_ref, kw_ref, out_ref, *, c_real, n_cls):
+def _conf_kernel(
+    starts_ref, z_ref, labels_ref, kh_ref, out_ref, *, hb, c_real, n_cls
+):
     import jax.experimental.pallas as pl
 
     i = pl.program_id(0)
@@ -63,23 +54,28 @@ def _conf_kernel(sem_ref, labels_ref, kh_ref, kw_ref, out_ref, *, c_real, n_cls)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    tile = _interp_tile(sem_ref, kh_ref, kw_ref)  # [R, W, C_pad] f32
+    start = starts_ref[j]
+    zs = z_ref[0, pl.ds(start, hb)]  # [hb, c, W]
+    ky = kh_ref[0]  # [R, hb]
+    tile = jnp.einsum("Rh,hcW->RcW", ky, zs, preferred_element_type=jnp.float32)
     labels = labels_ref[0]  # [R, W]
-    r, w, c_pad = tile.shape
-    ch = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c_pad), 2)
-    masked = jnp.where(ch < c_real, tile, NEG)
-    preds = jnp.argmax(masked, axis=-1)  # [R, W]
+    # argmax over the (sublane) channel dim; padded channels are −1e30
+    preds = jnp.argmax(tile, axis=1).astype(jnp.int32)  # [R, W]
     valid = (labels >= 0) & (labels < n_cls)
     safe_t = jnp.where(valid, labels, 0)
+    r, w = labels.shape
+    c_pad = out_ref.shape[-1]
     # one-hot contraction: conf += onehot(target)ᵀ · onehot(pred)
+    # bf16 one-hots: exact (0/1 values, per-block counts < 2^8 per MXU pass)
+    # and the matmul runs at native bf16 MXU rate
     ch3 = jax.lax.broadcasted_iota(jnp.int32, (r, w, c_pad), 2)
-    # NB minor-dim insertion of 1-bit vectors is not lowerable — broadcast
-    # the validity mask as f32 instead of AND-ing bools
+    # NB minor-dim insertion is only lowerable for 32-bit types — broadcast
+    # the validity mask as f32, then drop to bf16 for the MXU
     oh_t = (
         (ch3 == safe_t[..., None]).astype(jnp.float32)
         * valid.astype(jnp.float32)[..., None]
-    ).reshape(r * w, c_pad)
-    oh_p = (ch3 == preds[..., None]).astype(jnp.float32).reshape(r * w, c_pad)
+    ).astype(jnp.bfloat16).reshape(r * w, c_pad)
+    oh_p = (ch3 == preds[..., None]).astype(jnp.bfloat16).reshape(r * w, c_pad)
     out_ref[...] += jax.lax.dot_general(
         oh_t,
         oh_p,
@@ -94,25 +90,27 @@ def _conf_pallas(sem, labels, kh, kw, c_real, num_classes):
 
     n, h, w, _ = sem.shape
     H, W = kh.shape[0], kw.shape[0]
-    sem_p = _pad_c(sem)
-    c_pad = sem_p.shape[-1]
-    n_blocks = H // ROW_BLOCK
+    z = _w_interp(sem, kw)  # [n, h, c, W], −1e30 channel padding
+    c_pad = z.shape[2]
+    starts, kh_blocks = _block_kh(H, h, ROW_BLOCK)
+    hb = kh_blocks.shape[2]
+    c_out = max(128, -(-num_classes // 128) * 128)
     out = pl.pallas_call(
-        partial(_conf_kernel, c_real=c_real, n_cls=num_classes),
-        out_shape=jax.ShapeDtypeStruct((c_pad, c_pad), jnp.float32),
-        grid=(n, n_blocks),
+        partial(_conf_kernel, hb=hb, c_real=c_real, n_cls=num_classes),
+        out_shape=jax.ShapeDtypeStruct((c_out, c_out), jnp.float32),
+        grid=(n, H // ROW_BLOCK),
         in_specs=[
-            pl.BlockSpec((1, h, w, c_pad), lambda i, j: (i, 0, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, c_pad, W), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ROW_BLOCK, W), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLOCK, h), lambda i, j: (j, 0),
+            pl.BlockSpec((1, ROW_BLOCK, hb), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((c_pad, c_pad), lambda i, j: (0, 0),
+        out_specs=pl.BlockSpec((c_out, c_out), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM),
-    )(sem_p, labels.astype(jnp.int32), kh, kw)
+    )(starts, z, labels.astype(jnp.int32), kh_blocks)
     return out[:num_classes, :num_classes].astype(jnp.int32)
 
 
