@@ -54,6 +54,9 @@ class ABN(nn.Module):
     rmax: float = 3.0
     dmax: float = 5.0
     dtype: jnp.dtype = jnp.float32  # computation dtype for stats
+    # fuse a trailing 3x3/2 maxpool into the same HBM pass (ResNet stem);
+    # the full-resolution activated tensor then never exists in memory
+    pool: bool = False
 
     def _unbiased_correction(self, x: Array) -> float:
         """n/(n-1) Bessel factor for the running-var update (torch and
@@ -96,13 +99,34 @@ class ABN(nn.Module):
         )
         if use_fused:
             from bacs_tpu.ops.abn_core import fused_abn
+            from bacs_tpu.ops.stem_pool import fused_abn_pool
 
             slope = (
                 self.activation_param if self.activation == "leaky_relu" else 1.0
             )
-            y, mean, var = fused_abn(
-                x, scale, bias, self.eps, slope, self.axis_name
-            )
+            if (
+                self.pool
+                and x.shape[1] % 2 == 0
+                and x.shape[2] % 2 == 0
+                # default OFF: isolated fwd+bwd is 2.4x faster than the
+                # XLA-composed stem (4.9 vs 12 ms) but the full 512^2 train
+                # step measures 216 vs 227 img/s with it on — the opaque
+                # pallas calls schedule worse than XLA's interleaved
+                # fusions in this HBM-bound step.  Flip on per-run to
+                # re-evaluate on other shapes/hardware.
+                and os.environ.get("BACS_FUSED_STEM", "0") == "1"
+            ):
+                y, mean, var = fused_abn_pool(
+                    x, scale, bias, self.eps, slope, self.axis_name
+                )
+            else:
+                y, mean, var = fused_abn(
+                    x, scale, bias, self.eps, slope, self.axis_name
+                )
+                if self.pool:
+                    y = nn.max_pool(
+                        y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+                    )
             m = self.momentum
             corr = self._unbiased_correction(x)
             ra_mean.value = (1.0 - m) * ra_mean.value + m * jax.lax.stop_gradient(mean)
@@ -151,6 +175,10 @@ class ABN(nn.Module):
             b = (bias - mean * inv * scale).astype(out_dtype)
         y = xf * a + b
         y = _activate(y, self.activation, self.activation_param)
+        if self.pool:
+            y = nn.max_pool(
+                y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+            )
         return y.astype(out_dtype)
 
 

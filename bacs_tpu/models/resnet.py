@@ -161,9 +161,11 @@ class ResNet(nn.Module):
             raise ValueError("output stride must be 8 or 16")
 
         x = conv(64, 7, 2, dtype=self.dtype, name="conv1")(x)
-        x = self.norm(64, name="bn1")(x, use_running_average=not train)
-        # maxpool 3x3 stride 2, padding 1
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        # norm + leaky-relu + 3x3/2 maxpool in one fused HBM pass
+        # (ops/stem_pool.py; same params/stats as a plain bn1 + nn.max_pool)
+        x = self.norm(64, pool=True, name="bn1")(
+            x, use_running_average=not train
+        )
 
         attentions = []
         channels = (64, 64, 256) if self.bottleneck else (64, 64)

@@ -102,8 +102,10 @@ class ResNetAtrous(nn.Module):
         rate = 16 // self.output_stride
 
         x = conv(64, 7, 2, dtype=self.dtype, name="conv1")(x)
-        x = self.norm(64, name="bn1")(x, use_running_average=not train)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        # fused norm(+relu)+maxpool stem pass (ops/stem_pool.py)
+        x = self.norm(64, pool=True, name="bn1")(
+            x, use_running_average=not train
+        )
 
         attentions = [x]  # post-stem (reference: resnet_atrous.py:199)
         block_cls = AtrousBottleneck
