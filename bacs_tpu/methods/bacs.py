@@ -252,6 +252,12 @@ class BACSMethod(ExperienceReplayMethod):
             class_weights=weights,
             is_replay=True,
             batch_stats=batch_stats,
+            # replay folds on top of the main batch's prototype update
+            # (reference updates in place, base_loss.py:219-220)
+            proto_base=(
+                updates.get("prototypes", state.prototypes),
+                updates.get("proto_counts", state.proto_counts),
+            ),
         )
         # replay batches also fold into the prototypes
         # (reference: base_loss.py:219-220 runs for every compute_base_loss)

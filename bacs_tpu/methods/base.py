@@ -259,6 +259,7 @@ class Method:
         is_replay: bool = False,
         same_task: bool = False,
         batch_stats: Any = None,
+        proto_base: Optional[Tuple[Array, Array]] = None,
     ):
         """The shared CE(+seen-detector) core
         (reference: loss/base_loss.py:172-253 `compute_base_loss`).
@@ -274,9 +275,20 @@ class Method:
 
         logits = out.logits[..., : ctx.n_cur]
         seen_prob = None
+        # the reference folds the current batch into the prototypes BEFORE
+        # the seen detector reads them (base_loss.py:219-231); mirror with a
+        # local fold here — the state update itself still flows through
+        # prototype_updates, so nothing is double-counted.  `proto_base`
+        # lets replay calls chain on top of the main batch's fold.
+        protos = state.prototypes if proto_base is None else proto_base[0]
+        counts = state.proto_counts if proto_base is None else proto_base[1]
+        if train and self.track_prototypes:
+            protos, counts = update_task_prototypes(
+                protos, counts, out.penultimate, labels, task, ctx.axis_name
+            )
         if use_weighted_ce and train:
             seen_prob = jax.lax.stop_gradient(
-                ctx.seen_probs(params, bs, out.penultimate, state.prototypes)
+                ctx.seen_probs(params, bs, out.penultimate, protos)
             )
             loss = weighted_cross_entropy(
                 logits,
@@ -319,7 +331,9 @@ class Method:
         # only on non-replay batches (unless same_task), gated on prototype
         # readiness, weighted by max(0, 1-exp(epoch - max_epochs)).
         if train and self.use_bg_detector and (same_task or not is_replay):
-            ready = prototypes_ready(state, task).astype(jnp.float32)
+            # readiness checked on the post-fold counts (reference: the
+            # in-place update precedes are_prototypes_ready, :219-222)
+            ready = jnp.all(counts[: task.task_id + 1] > 0).astype(jnp.float32)
             # task_num may be a traced array (sampled replay partition) — only
             # treat a *static* -1 as "current task" (reference:
             # base_loss.py:264-266 `if task_num == -1: task_num = last`)
@@ -331,7 +345,7 @@ class Method:
                 params,
                 bs,
                 out.penultimate,
-                state.prototypes,
+                protos,  # post-fold, as in the reference (:245-250)
                 t_num,
                 stop_grads=not task.first_task,
             )

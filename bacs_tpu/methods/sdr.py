@@ -119,7 +119,16 @@ class SDRMethod(Method):
         return labels_down, onehot
 
     def _update_class_prototypes(self, state, feats, mask, task, axis_name):
-        """(reference: sdr.py:121-158 — skip bg when not sequential mode)."""
+        """(reference: sdr.py:121-158 — skip bg when not sequential mode).
+
+        Intentional deviation: the reference's
+        `features[mask.expand(...)].view(D, -1)` scrambles feature
+        dimensions whenever a class appears in more than one image of the
+        batch (the boolean-select flattens batch-major, the view rechunks
+        dim-major), so its running means mix dimensions in that case.  We
+        compute the true per-class mean; tests/test_method_parity.py pins
+        equality on the well-defined single-image case.
+        """
         feats = jax.lax.stop_gradient(feats.astype(jnp.float32))
         _, onehot = self._class_masks(mask, feats.shape[1:3], task)
         if not self.sequential_mode and task.task_id > 0:
@@ -183,27 +192,31 @@ class SDRMethod(Method):
         return cluster_loss + self.lfc_sep_clust * sep
 
     def _feature_sparsification(self, mask, feats, task):
-        """(reference: sdr.py:209-242)."""
+        """(reference: sdr.py:209-242).
+
+        Reference semantics, quirks included: pixels are grouped by the RAW
+        downsampled label — `torch.unique` keeps the ignore index, so 255
+        pixels form their own normalization group and are NOT excluded —
+        and each group is normalized by its global (pixels x channels) max.
+        Background is dropped only when it is the sole label present
+        (`classes[-1] == 0` can only hold then), which zeroes the loss.
+        Zeroing any covered pixel instead would blow up shrink/summed to
+        exp(0)·D/eps — the reference never zeroes covered pixels.
+        """
         f = feats.astype(jnp.float32)
-        labels_down, onehot = self._class_masks(mask, f.shape[1:3], task)
-        # per-class max over the masked region (a scalar per class across both
-        # pixels and channels) via scatter-max — avoids a [N,h,w,D,C] blowup
-        big_neg = -1e30
-        valid = jnp.sum(onehot, -1) > 0
+        labels_down, _ = self._class_masks(mask, f.shape[1:3], task)
+        c_cur = task.nb_current_classes
+        # group ids: 0..C-1 = classes, C = ignore_index pixels
+        grp = jnp.where(labels_down == task.ignore_index, c_cur, labels_down)
         pix_max = jnp.max(f, axis=-1)  # max over channels per pixel
-        safe_flat = jnp.where(
-            labels_down == task.ignore_index, 0, labels_down
-        ).reshape(-1)
-        per_class_max = (
-            jnp.full((task.nb_current_classes,), big_neg)
-            .at[safe_flat]
-            .max(jnp.where(valid, pix_max, big_neg).reshape(-1))
-        )  # [C]
-        safe = jnp.where(labels_down == task.ignore_index, 0, labels_down)
-        cls_max = per_class_max[safe]  # [N,h,w]
-        features_norm = (
-            f / (jnp.maximum(cls_max, big_neg / 2)[..., None] + EPS)
-        ) * valid[..., None]
+        per_grp_max = (
+            jnp.full((c_cur + 1,), -jnp.inf)
+            .at[grp.reshape(-1)]
+            .max(pix_max.reshape(-1))
+        )  # every pixel's own group is present, so no -inf is ever read
+        features_norm = f / (per_grp_max[grp][..., None] + EPS)
+        only_bg = jnp.all(grp == 0)  # loop skipped -> features_norm stays 0
+        features_norm = jnp.where(only_bg, 0.0, features_norm)
         total = jnp.sum(features_norm)
         shrink = jnp.sum(jnp.exp(features_norm), axis=-1, keepdims=True)
         summed = jnp.sum(features_norm, axis=-1, keepdims=True)

@@ -50,14 +50,15 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
-        y = nn.LayerNorm(name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)  # torch LN eps
         y = Attention(self.dim, self.heads, self.dropout, self.dtype, name="attn")(
             y, train=train
         )
         x = x + _drop_path(y, self.drop_path, self, train)
-        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = nn.Dense(self.mlp_dim, dtype=self.dtype, name="mlp_fc1")(y)
-        y = nn.gelu(y)
+        # exact erf GELU (torch nn.GELU default; flax defaults to tanh approx)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)

@@ -75,7 +75,7 @@ class TransformerHead(nn.Module):
                 d, self.nhead, self.dim_feedforward, dtype=self.dtype,
                 name=f"block{i}",
             )(x, train=train)
-        x = nn.LayerNorm(name="decoder_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")(x)  # torch LN eps
 
         patch_tokens, cls_feat = x[:, :-n_cls], x[:, -n_cls:]
         image_feats = patch_tokens.reshape(b, h, w, d)

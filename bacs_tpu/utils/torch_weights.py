@@ -323,3 +323,88 @@ def convert_reference_deeplab(
     params["base_classifier"] = hd_p
     batch_stats["base_classifier"] = hd_s
     return params, batch_stats, loaded
+
+
+def convert_reference_transeg(
+    sd: Dict[str, np.ndarray], variables: Dict[str, Any]
+) -> Tuple[Dict[str, Any], Dict[str, Any], int]:
+    """Convert a reference TranSeg torch state dict to Flax variables.
+
+    Maps the ResNet backbone (shared with convert_reference_deeplab) plus
+    the TransformerHead (reference: networks/transeg.py:85-175 —
+    feature_embedding, pos_embed, class_tokens, decoder blocks
+    (networks/layers.py:39-95), proj_patch/proj_classes, decoder_norm,
+    mask_norm) onto this repo's TranSeg parameter tree
+    (models/transeg.py).  The unused inherited `classifier_head` conv is
+    skipped (the reference TranSeg forward never calls it).
+
+    Returns (params, batch_stats, n_tensors_loaded).
+    """
+    import jax.numpy as jnp
+
+    backbone_sd = {
+        k[len("backbone.") :]: v
+        for k, v in sd.items()
+        if k.startswith("backbone.")
+    }
+    params, batch_stats, loaded = _convert(
+        backbone_sd, variables["params"], variables.get("batch_stats", {})
+    )
+    hd = params["base_classifier"]
+
+    def put(node, path, value):
+        for p in path[:-1]:
+            node = node[p]
+        leaf = path[-1]
+        assert tuple(node[leaf].shape) == tuple(value.shape), (
+            path, node[leaf].shape, value.shape,
+        )
+        node[leaf] = jnp.asarray(value)
+
+    for key, v in sd.items():
+        if not key.startswith("base_classifier."):
+            continue
+        parts = key.split(".")[1:]
+        name = parts[0]
+        if name == "feature_embedding":
+            if parts[1] == "weight":
+                put(hd, ["feature_embedding", "kernel"], _to_flax_conv(v))
+            else:
+                put(hd, ["feature_embedding", "bias"], v)
+        elif name == "pos_embed":
+            put(hd, ["pos_embed"], np.transpose(v, (0, 2, 3, 1)))
+        elif name == "class_tokens":
+            put(hd, ["class_tokens"], v[0])
+        elif name == "mask_norm":
+            put(
+                hd,
+                ["mask_norm_scale" if parts[1] == "weight" else "mask_norm_bias"],
+                v,
+            )
+        elif name in ("proj_patch", "proj_classes"):
+            put(hd, [name], v)
+        elif name == "decoder_norm":
+            put(hd, ["decoder_norm", "scale" if parts[1] == "weight" else "bias"], v)
+        elif name == "blocks":
+            blk = hd[f"block{parts[1]}"]
+            sub, leaf = parts[2], parts[-1]
+            if sub in ("norm1", "norm2"):
+                put(blk, [sub, "scale" if leaf == "weight" else "bias"], v)
+            elif sub == "attn":  # qkv / proj linear layers
+                if leaf == "weight":
+                    put(blk, ["attn", parts[3], "kernel"], v.T)
+                else:
+                    put(blk, ["attn", parts[3], "bias"], v)
+            elif sub == "mlp":
+                which = "mlp_fc1" if parts[3] == "fc1" else "mlp_fc2"
+                if leaf == "weight":
+                    put(blk, [which, "kernel"], v.T)
+                else:
+                    put(blk, [which, "bias"], v)
+            else:
+                continue
+        else:
+            continue
+        loaded += 1
+    params["base_classifier"] = hd
+    return params, batch_stats, loaded

@@ -1,0 +1,537 @@
+"""Method-level loss parity against the reference's ACTUAL loss classes.
+
+tests/test_reference_parity.py pins forward outputs and individual
+loss-utils terms; this file goes one level up and runs the reference's real
+`loss.MiB` / `loss.PlopLoss` compute_loss (loss/mib.py:50-88,
+loss/plop_loss.py:149-229) against this repo's method plugins on identical
+weights, inputs, and CL bookkeeping (task 1 of a 16+1+... split with a
+frozen 16-class previous model).  This validates the *composition* — which
+classes are masked, pseudo-labeling, reduction quirks, POD wiring — not
+just the formulas.
+
+Train-mode BN at CROP=64 is ill-conditioned in the deep layers (see
+test_reference_parity.py:144-148), so scalar-loss tolerances are relative;
+the pseudo-labeling decision test is exact (integers, shared inputs).
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+if not os.path.isdir("/root/reference"):  # pragma: no cover
+    pytest.skip("reference repo not available", allow_module_level=True)
+
+sys.path.insert(0, os.path.dirname(__file__))
+from reference_shim import load_reference_loss, load_reference_networks
+
+import jax
+import jax.numpy as jnp
+
+from bacs_tpu.methods import create_method
+from bacs_tpu.methods.base import ModelContext
+from bacs_tpu.models import create_network
+from bacs_tpu.train.state import TaskInfo, TrainState
+from bacs_tpu.utils.torch_weights import convert_reference_deeplab
+
+OLD, NEW = 16, 1
+N_CLASSES = OLD + NEW  # task 1 of a VOC-15-1-style run
+CROP = 64
+
+
+def _randomize_norms(model):
+    with torch.no_grad():
+        for m in model.modules():
+            if hasattr(m, "running_mean") and m.running_mean is not None:
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.5, 1.5)
+                if getattr(m, "weight", None) is not None:
+                    m.weight.uniform_(0.5, 1.5)
+                    m.bias.normal_(0, 0.05)
+
+
+@pytest.fixture(scope="module")
+def cl_pair():
+    """Task-1 setup: current model (heads 16+1) + frozen prev model (16),
+    both converted to identically-weighted flax variables."""
+    networks = load_reference_networks()
+    tnn = torch.nn
+
+    torch.manual_seed(0)
+    ref = networks.DeepLabV3(norm="abn", pretrained_backbone=False)
+    ref.classifier_head = tnn.ModuleList(
+        [ref.get_classification_head(OLD), ref.get_classification_head(NEW)]
+    )
+    _randomize_norms(ref)
+    ref.eval()
+
+    # prev model: same weights as `ref` minus the new head, then perturb the
+    # current model so the two genuinely differ (as after task-1 training)
+    ref_prev = copy.deepcopy(ref)
+    ref_prev.classifier_head = tnn.ModuleList([ref_prev.classifier_head[0]])
+    ref_prev.eval()
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(7)
+        for p in ref.parameters():
+            p.add_(0.02 * torch.randn(p.shape, generator=g))
+
+    net = create_network(
+        "deeplab", num_classes=N_CLASSES, n_tasks=2, norm="abn",
+        axis_name=None,
+    )
+    x0 = np.random.RandomState(1).rand(2, CROP, CROP, 3).astype(np.float32)
+    variables = net.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(x0), train=False,
+    )
+
+    def convert(model):
+        sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        params, stats, loaded = convert_reference_deeplab(
+            sd, jax.tree.map(lambda a: a, variables)
+        )
+        expected = len([k for k in sd if not k.endswith("num_batches_tracked")])
+        assert loaded == expected, f"only {loaded}/{expected} converted"
+        return params, stats
+
+    params, stats = convert(ref)
+    prev_params, prev_stats = convert(ref_prev)
+
+    task = TaskInfo(
+        task_id=1, initial_classes=OLD, increment=NEW,
+        num_classes=N_CLASSES, n_tasks=2, max_epochs=30,
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=stats,
+        opt_state=None,
+        rng=jax.random.PRNGKey(3),
+        prototypes=jnp.zeros((2, 2048)),
+        proto_counts=jnp.zeros((2,)),
+        prev_params=prev_params,
+        prev_batch_stats=prev_stats,
+    )
+    ctx = ModelContext(model=net, task=task, axis_name=None)
+
+    rng = np.random.RandomState(5)
+    x = rng.rand(2, CROP, CROP, 3).astype(np.float32)
+    # non-bg classes partitioned per image: the reference's prototype
+    # accumulators use a `features[mask].view(D, -1)` reshape that scrambles
+    # dimensions when a class spans multiple batch images (see
+    # methods/sdr.py:_update_class_prototypes) — keep the comparison on the
+    # well-defined case.  Background and 255 still appear in both images.
+    y = np.zeros((2, CROP, CROP), np.int64)
+    y[0] = rng.choice([0, 1, 2, 3, 4, 5, 6, 7, 8], (CROP, CROP))
+    y[1] = rng.choice([0, 9, 10, 11, 12, 13, 14, 15, 16], (CROP, CROP))
+    y[rng.rand(2, CROP, CROP) < 0.05] = 255
+    return ref, ref_prev, ctx, state, x, y
+
+
+def _torch_batch(x, y):
+    return (
+        torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+        torch.from_numpy(y),
+    )
+
+
+def test_mib_compute_loss_parity(cl_pair):
+    """UCE + 10·UKD composition on real networks (reference mib.py:50-88)."""
+    ref, ref_prev, ctx, state, x, y = cl_pair
+    L = load_reference_loss()
+
+    mib = L.MiB()
+    mib.old_classes = OLD
+    mib.nb_current_classes = N_CLASSES
+    mib.nb_new_classes = NEW
+    mib.on_train_start(1)
+    mib.prev_model = ref_prev
+
+    ref_t = copy.deepcopy(ref)
+    ref_t.train()
+    with torch.no_grad():
+        loss_t, _ = mib.compute_loss(_torch_batch(x, y), ref_t, train=True)
+
+    method = create_method("loss.MiB")
+    loss_j, _ = method.compute_loss(
+        ctx, state.params, state,
+        {"image": jnp.asarray(x), "label": jnp.asarray(y.astype(np.int32))},
+        train=True, rng=jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=2e-2)
+
+
+def test_plop_pseudo_label_parity(cl_pair):
+    """Pseudo-labeling decisions on identical old-model logits must match
+    EXACTLY (reference plop_loss.py:67-124 _preprocess_labels)."""
+    ref, ref_prev, ctx, state, x, y = cl_pair
+    L = load_reference_loss()
+
+    with torch.no_grad():
+        logits_old_t = ref_prev(_torch_batch(x, y)[0])
+    logits_old = np.transpose(logits_old_t.numpy(), (0, 2, 3, 1))
+
+    plop = L.PlopLoss()
+    plop.old_classes = OLD
+    plop.nb_current_classes = N_CLASSES
+    plop.nb_new_classes = NEW
+    rs = np.random.RandomState(11)
+    thr = (0.001 + 0.4 * rs.rand(N_CLASSES)).astype(np.float32)
+    plop.thresholds = torch.from_numpy(thr)
+    plop.max_entropy = torch.log(torch.tensor(float(N_CLASSES)))
+
+    mask_t, factor_t = plop._preprocess_labels(
+        torch.from_numpy(y.copy()), logits_old_t
+    )
+
+    method = create_method("loss.PlopLoss")
+    state_p = state.replace(
+        plop_thresholds=jnp.asarray(thr),
+        plop_max_entropy=jnp.asarray(np.log(N_CLASSES), jnp.float32),
+    )
+    mask_j, factor_j = method._pseudo_labels(
+        state_p, jnp.asarray(y.astype(np.int32)), jnp.asarray(logits_old)
+    )
+    np.testing.assert_array_equal(np.asarray(mask_j), mask_t.numpy())
+    np.testing.assert_allclose(
+        np.asarray(factor_j), np.asarray(factor_t).reshape(-1), atol=1e-6
+    )
+
+
+def test_plop_compute_loss_parity(cl_pair):
+    """Adaptive-factor pseudo-label CE + Local POD composition
+    (reference plop_loss.py:149-229)."""
+    ref, ref_prev, ctx, state, x, y = cl_pair
+    L = load_reference_loss()
+
+    plop = L.PlopLoss()
+    plop.old_classes = OLD
+    plop.nb_current_classes = N_CLASSES
+    plop.nb_new_classes = NEW
+    rs = np.random.RandomState(13)
+    thr = (0.001 + 0.4 * rs.rand(N_CLASSES)).astype(np.float32)
+    plop.thresholds = torch.from_numpy(thr)
+    plop.max_entropy = torch.log(torch.tensor(float(N_CLASSES)))
+    plop.prev_model = ref_prev
+
+    ref_t = copy.deepcopy(ref)
+    ref_t.train()
+    with torch.no_grad():
+        loss_t, _ = plop.compute_loss(_torch_batch(x, y), ref_t, train=True)
+
+    method = create_method("loss.PlopLoss")
+    state_p = state.replace(
+        plop_thresholds=jnp.asarray(thr),
+        plop_max_entropy=jnp.asarray(np.log(N_CLASSES), jnp.float32),
+    )
+    loss_j, _ = method.compute_loss(
+        ctx, state_p.params, state_p,
+        {"image": jnp.asarray(x), "label": jnp.asarray(y.astype(np.int32))},
+        train=True, rng=jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=5e-2)
+
+
+def test_icarl_compute_loss_parity(cl_pair):
+    """iCaRL BCE-distill criterion composition (reference icarl_loss.py)."""
+    ref, ref_prev, ctx, state, x, y = cl_pair
+    L = load_reference_loss()
+
+    ic = L.IcarlLoss()
+    ic.old_classes = OLD
+    ic.nb_current_classes = N_CLASSES
+    ic.nb_new_classes = NEW
+    ic.prev_model = ref_prev
+
+    ref_t = copy.deepcopy(ref)
+    ref_t.train()
+    with torch.no_grad():
+        loss_t, _ = ic.compute_loss(_torch_batch(x, y), ref_t, train=True)
+
+    method = create_method("loss.IcarlLoss")
+    loss_j, _ = method.compute_loss(
+        ctx, state.params, state,
+        {"image": jnp.asarray(x), "label": jnp.asarray(y.astype(np.int32))},
+        train=True, rng=jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=2e-2)
+
+
+def test_sdr_compute_loss_parity(cl_pair):
+    """SDR composite: UCE + sparsification + clustering/separation +
+    prototype distillation + 100·UKD, with the in-call prototype
+    running-mean update (reference sdr.py:120-320)."""
+    ref, ref_prev, ctx, state, x, y = cl_pair
+    L = load_reference_loss()
+    lu = sys.modules.get("_reference_loss_utils")
+    if lu is None:
+        from reference_shim import load_reference_loss_utils
+
+        lu = load_reference_loss_utils()
+
+    D = int(ref.get_penultimate_layer_dim())
+    rs = np.random.RandomState(17)
+    protos0 = (0.1 * rs.randn(N_CLASSES, D)).astype(np.float32)
+    counts0 = rs.randint(1, 50, (N_CLASSES,)).astype(np.int64)
+
+    sdr = L.SDR()
+    sdr.old_classes = OLD
+    sdr.nb_current_classes = N_CLASSES
+    sdr.nb_new_classes = NEW
+    sdr.initial_classes = OLD
+    sdr.increment = NEW
+    sdr.device = torch.device("cpu")
+    sdr.prev_model = ref_prev
+    sdr.use_distillation = True
+    sdr.not_sequential_mode = True
+    sdr.skip_updating_bg = True
+    sdr.criterion = lu.UnbiasedCrossEntropy(
+        old_cl=OLD, ignore_index=255, reduction="mean"
+    )
+    sdr._prototypes_tensors = torch.from_numpy(protos0.copy())
+    sdr._count_features = torch.from_numpy(counts0.copy())
+
+    ref_t = copy.deepcopy(ref)
+    ref_t.train()
+    with torch.no_grad():
+        loss_t, _ = sdr.compute_loss(_torch_batch(x, y), ref_t, train=True)
+
+    method = create_method("loss.SDR")
+    state_s = state.replace(
+        class_prototypes=jnp.asarray(protos0),
+        class_proto_counts=jnp.asarray(counts0.astype(np.float32)),
+    )
+    loss_j, aux = method.compute_loss(
+        ctx, state_s.params, state_s,
+        {"image": jnp.asarray(x), "label": jnp.asarray(y.astype(np.int32))},
+        train=True, rng=jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=5e-2)
+    # the in-call prototype update must track the reference's
+    # divide-accumulator recurrence on the updated classes too
+    np.testing.assert_allclose(
+        np.asarray(aux.state_updates["class_proto_counts"]),
+        sdr._count_features.numpy().astype(np.float32),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux.state_updates["class_prototypes"]),
+        sdr._prototypes_tensors.numpy(),
+        atol=5e-2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# BACS — the headline method: weighted CE + seen detector + teacher distill
+# + dark replay terms (reference: loss/bacs_loss.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bacs_pair():
+    """Task-1 setup WITH the seen/bg detector attached to both models."""
+    networks = load_reference_networks()
+    tnn = torch.nn
+
+    torch.manual_seed(1)
+    ref = networks.DeepLabV3(norm="abn", pretrained_backbone=False)
+    ref.classifier_head = tnn.ModuleList(
+        [ref.get_classification_head(OLD), ref.get_classification_head(NEW)]
+    )
+    ref.seen_fg_network = ref.get_seen_not_seen_head()
+    ref.seen_fg_network.seen_not_seen_clf = tnn.ModuleList(
+        [ref.seen_fg_network.get_classification_head(1) for _ in range(2)]
+    )
+    _randomize_norms(ref)
+    ref.eval()
+
+    ref_prev = copy.deepcopy(ref)
+    ref_prev.classifier_head = tnn.ModuleList([ref_prev.classifier_head[0]])
+    ref_prev.eval()
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(8)
+        for p in ref.parameters():
+            p.add_(0.02 * torch.randn(p.shape, generator=g))
+
+    net = create_network(
+        "deeplab", num_classes=N_CLASSES, n_tasks=2, use_bg_detector=True,
+        norm="abn", axis_name=None,
+    )
+    x0 = np.random.RandomState(2).rand(2, CROP, CROP, 3).astype(np.float32)
+    variables = net.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(x0), train=False,
+    )
+
+    def convert(model):
+        sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        params, stats, loaded = convert_reference_deeplab(
+            sd, jax.tree.map(lambda a: a, variables)
+        )
+        expected = len([k for k in sd if not k.endswith("num_batches_tracked")])
+        assert loaded == expected, f"only {loaded}/{expected} converted"
+        return params, stats
+
+    params, stats = convert(ref)
+    prev_params, prev_stats = convert(ref_prev)
+
+    D = int(ref.get_penultimate_layer_dim())
+    rs = np.random.RandomState(23)
+    task_protos = (0.1 * rs.randn(2, D)).astype(np.float32)
+    task_counts = np.array([500.0, 300.0], np.float32)
+
+    task = TaskInfo(
+        task_id=1, initial_classes=OLD, increment=NEW,
+        num_classes=N_CLASSES, n_tasks=2, max_epochs=30,
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=stats,
+        opt_state=None,
+        rng=jax.random.PRNGKey(3),
+        prototypes=jnp.asarray(task_protos),
+        proto_counts=jnp.asarray(task_counts),
+        prev_params=prev_params,
+        prev_batch_stats=prev_stats,
+    )
+    ctx = ModelContext(model=net, task=task, axis_name=None)
+
+    rng = np.random.RandomState(6)
+    x = rng.rand(2, CROP, CROP, 3).astype(np.float32)
+    y = rng.randint(0, N_CLASSES, (2, CROP, CROP)).astype(np.int64)
+    y[rng.rand(2, CROP, CROP) < 0.05] = 255
+    return ref, ref_prev, ctx, state, x, y, task_protos, task_counts, D
+
+
+def _make_ref_bacs(L, alpha, beta, task_protos, task_counts, prev_model):
+    bacs = L.BACSLoss(alpha=alpha, beta=beta, bg_weighted_ce=True, lkd=0.25)
+    bacs.old_classes = OLD
+    bacs.nb_current_classes = N_CLASSES
+    bacs.nb_new_classes = NEW
+    bacs.initial_classes = OLD
+    bacs.increment = NEW
+    bacs.device = torch.device("cpu")
+    bacs.epoch_number = 0
+    bacs.max_epochs = 30
+    bacs.init_prototype_compute()
+    bacs._prototypes.set_continual_task_size(OLD, NEW)
+    bacs._prototypes._prototypes_tensors = torch.from_numpy(task_protos.copy())
+    bacs._prototypes._count_features = torch.from_numpy(task_counts.copy())
+    bacs._use_der_loss = True
+    bacs.prev_model = prev_model
+    bacs._init_dark_criterion(torch.device("cpu"))
+    return bacs
+
+
+def test_bacs_main_loss_parity(bacs_pair):
+    """Weighted-CE gated by seen-probs + seen-detector focal + teacher
+    distillation (reference bacs_loss.py:212-294 with alpha=beta=0)."""
+    ref, ref_prev, ctx, state, x, y, task_protos, task_counts, D = bacs_pair
+    L = load_reference_loss()
+    bacs = _make_ref_bacs(L, 0.0, 0.0, task_protos, task_counts, ref_prev)
+
+    ref_t = copy.deepcopy(ref)
+    ref_t.train()
+    with torch.no_grad():
+        loss_t, _ = bacs.compute_loss(_torch_batch(x, y), ref_t, train=True)
+
+    method = create_method(
+        "loss.BACSLoss", alpha=0.0, beta=0.0, bg_weighted_ce=True,
+        use_bg_detector=True,
+    )
+    loss_j, _ = method.compute_loss(
+        ctx, state.params, state,
+        {"image": jnp.asarray(x), "label": jnp.asarray(y.astype(np.int32))},
+        train=True, rng=jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=5e-2)
+
+
+def test_bacs_replay_der_parity(bacs_pair, monkeypatch):
+    """α·dark-logits (transplant MSE) + β·dark++ (old-class weighted CE)
+    on identical injected replay batches (reference bacs_loss.py:342-463)."""
+    ref, ref_prev, ctx, state, x, y, task_protos, task_counts, D = bacs_pair
+    L = load_reference_loss()
+    bacs = _make_ref_bacs(L, 0.8, 0.2, task_protos, task_counts, ref_prev)
+    bacs.logit_transforms = lambda t: t  # determinism: no autocontrast
+
+    # synthetic replay data shared verbatim by both sides
+    rs = np.random.RandomState(31)
+    B = 2
+    imgs_pp = rs.rand(B, CROP, CROP, 3).astype(np.float32)
+    labs_pp = rs.randint(0, OLD, (B, CROP, CROP)).astype(np.int64)
+    labs_pp[rs.rand(B, CROP, CROP) < 0.05] = 255
+    imgs_dl = rs.rand(B, CROP, CROP, 3).astype(np.float32)
+    with torch.no_grad():  # probe the sem-logits spatial dims
+        sem = copy.deepcopy(ref)
+        sem.eval()
+        sem_out = sem(
+            torch.from_numpy(np.transpose(imgs_dl, (0, 3, 1, 2))),
+            return_sem_logits=True,
+        )
+    h_sem, w_sem = sem_out.shape[-2:]
+    mem_logits = rs.randn(B, N_CLASSES, h_sem, w_sem).astype(np.float32)
+    n_classes = np.full((B,), OLD, np.int64)
+
+    ref_t = copy.deepcopy(ref)
+    ref_t.train()
+    with torch.no_grad():
+        loss_t = bacs._replay_der_loss(
+            ref_t,
+            replay_batch=(
+                torch.from_numpy(np.transpose(imgs_pp, (0, 3, 1, 2))),
+                torch.from_numpy(labs_pp),
+            ),
+            replay_logits=(
+                torch.from_numpy(np.transpose(imgs_dl, (0, 3, 1, 2))),
+                torch.from_numpy(mem_logits),
+                torch.from_numpy(n_classes),
+            ),
+        )
+
+    # jax side: monkeypatch the buffer sampler + augmentations to inject the
+    # exact same replay data
+    import bacs_tpu.data.transforms as transforms_mod
+    import bacs_tpu.methods.bacs as bacs_mod
+
+    mem_dl = {
+        "images": jnp.asarray(imgs_dl),
+        "logits": jnp.asarray(np.transpose(mem_logits, (0, 2, 3, 1))),
+        "labels": jnp.zeros((B, CROP, CROP), jnp.int32),
+        "n_classes": jnp.asarray(n_classes.astype(np.int32)),
+        "indices": jnp.arange(B),
+    }
+    mem_pp = {
+        "images": jnp.asarray(imgs_pp),
+        "logits": jnp.zeros_like(mem_dl["logits"]),
+        "labels": jnp.asarray(labs_pp.astype(np.int32)),
+        "n_classes": jnp.asarray(n_classes.astype(np.int32)),
+        "indices": jnp.arange(B),
+    }
+    queue = [mem_dl, mem_pp]  # _dark_logits (alpha) samples first
+    monkeypatch.setattr(
+        bacs_mod.buffer_lib, "sample",
+        lambda buf, rng, n, task_id=None: queue.pop(0),
+    )
+    monkeypatch.setattr(
+        bacs_mod, "random_autocontrast", lambda rng, im, p=0.5: im
+    )
+    monkeypatch.setattr(
+        transforms_mod, "replay_augment", lambda rng, im, lab: (im, lab)
+    )
+
+    method = create_method(
+        "loss.BACSLoss", alpha=0.8, beta=0.2, bg_weighted_ce=True,
+        use_bg_detector=True,
+    )
+    loss_j, _, _ = method._replay_der_loss(
+        ctx, state.params, state, state.batch_stats, jax.random.PRNGKey(5), {}
+    )
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=5e-2)

@@ -205,6 +205,68 @@ def test_bg_detector_parity(pair):
     )
 
 
+def test_transeg_forward_parity():
+    """TranSeg transformer mask decoder vs the reference's
+    (networks/transeg.py:85-175, layers.py:39-95): same backbone features →
+    feature embedding + pos embed + class tokens → decoder blocks →
+    normalized patch·classᵀ masks → mask LayerNorm."""
+    import collections
+    import types
+
+    if not hasattr(collections, "Iterable"):  # py>=3.10 moved it
+        collections.Iterable = collections.abc.Iterable
+
+    networks = load_reference_networks()
+    from bacs_tpu.utils.torch_weights import convert_reference_transeg
+
+    n_cls, crop = 12, 64
+    cfg = types.SimpleNamespace(
+        hidden_dim=64, dim_feedforward=128, nhead=2, num_decoder_layers=2
+    )
+    torch.manual_seed(3)
+    ref = networks.TranSeg(
+        norm="abn", pretrained_backbone=False, crop_size=crop,
+        num_classes=n_cls, transformer=cfg,
+    )
+    _randomize_norms(ref)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    net = create_network(
+        "transeg", num_classes=n_cls, norm="abn", axis_name=None,
+        crop_size=crop, transformer=vars(cfg),
+    )
+    x = np.random.RandomState(4).rand(2, crop, crop, 3).astype(np.float32)
+    variables = net.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(x), train=False,
+    )
+    params, stats, loaded = convert_reference_transeg(sd, variables)
+    expected = len(
+        [
+            k
+            for k in sd
+            if not k.endswith("num_batches_tracked")
+            and not k.startswith("classifier_head.")  # unused in TranSeg
+        ]
+    )
+    assert loaded == expected, f"only {loaded}/{expected} tensors converted"
+
+    with torch.no_grad():
+        xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        logits_t = ref(xt)
+        sem_t = ref(xt, return_sem_logits=True)
+    out = net.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x), train=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.sem_logits), _to_nhwc(sem_t), atol=TOL, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.logits), _to_nhwc(logits_t), atol=TOL, rtol=0
+    )
+
+
 def test_atrous_encoder_parity():
     """SDR ResNet_Atrous DeepLab: 5 backbone attentions, BN+ReLU momentum
     3e-4, last-stage atrous multipliers (reference: networks/resnet_atrous.py,
