@@ -408,3 +408,97 @@ def convert_reference_transeg(
         loaded += 1
     params["base_classifier"] = hd
     return params, batch_stats, loaded
+
+
+def convert_reference_unet(
+    sd: Dict[str, np.ndarray], variables: Dict[str, Any]
+) -> Tuple[Dict[str, Any], Dict[str, Any], int]:
+    """Convert a reference UNet torch state dict to Flax variables
+    (reference: networks/unet.py:10-180 — DoubleConv stacks, Down/Up
+    blocks, plain BatchNorm2d, 1x1 classifier head).
+
+    Returns (params, batch_stats, n_tensors_loaded).
+    """
+    import jax.numpy as jnp
+
+    def clone(t):
+        if isinstance(t, dict):
+            return {k: clone(v) for k, v in t.items()}
+        return t
+
+    params = clone(variables["params"])
+    batch_stats = clone(variables.get("batch_stats", {}))
+
+    def put(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node[p]
+        leaf = path[-1]
+        assert tuple(node[leaf].shape) == tuple(value.shape), (
+            path, node[leaf].shape, value.shape,
+        )
+        node[leaf] = jnp.asarray(value)
+        return 1
+
+    # torch DoubleConv indices -> (flax name, is_bn)
+    dc_map = {"0": ("conv1", False), "1": ("bn1", True),
+              "3": ("conv2", False), "4": ("bn2", True)}
+
+    def put_dc(blk, idx, leaf, value):
+        name, is_bn = dc_map[idx]
+        if not is_bn:
+            if leaf == "weight":
+                return put(params, blk + [name, "kernel"], _to_flax_conv(value))
+            return put(params, blk + [name, "bias"], value)
+        # plain BatchNorm2d: signed scale (no ABN abs-reparam)
+        if leaf == "weight":
+            return put(params, blk + [name, "scale"], value)
+        if leaf == "bias":
+            return put(params, blk + [name, "bias"], value)
+        if leaf == "running_mean":
+            return put(batch_stats, blk + [name, "mean"], value)
+        if leaf == "running_var":
+            return put(batch_stats, blk + [name, "var"], value)
+        return 0  # num_batches_tracked
+
+    loaded = 0
+    for key, v in sd.items():
+        parts = key.split(".")
+        if parts[0] == "inc":
+            loaded += put_dc(["inc"], parts[2], parts[3], v)
+        elif parts[0] == "downsample":
+            # downsample.<i>.maxpool_conv.1.double_conv.<j>.<leaf>
+            blk = [f"down{int(parts[1]) + 1}"]
+            loaded += put_dc(blk, parts[5], parts[6], v)
+        elif parts[0] == "upsample":
+            i = int(parts[1])
+            if parts[2] == "up":  # ConvTranspose2d (non-bilinear)
+                if parts[3] == "weight":
+                    # torch [in, out, kh, kw] -> flax [kh, kw, in, out];
+                    # torch ConvTranspose2d is the conv gradient, i.e. a
+                    # spatially flipped kernel vs lax.conv_transpose
+                    loaded += put(
+                        params, [f"up_tconv{i + 1}", "kernel"],
+                        np.transpose(v[..., ::-1, ::-1], (2, 3, 0, 1)),
+                    )
+                else:
+                    loaded += put(params, [f"up_tconv{i + 1}", "bias"], v)
+            else:  # upsample.<i>.conv.double_conv.<j>.<leaf>
+                loaded += put_dc([f"up{i + 1}"], parts[4], parts[5], v)
+        elif parts[0] == "classifier_head":
+            if parts[-1] == "weight":
+                hp = params["classifier_head"]
+                k = _to_flax_conv(v)
+                n = min(hp["kernel"].shape[-1], k.shape[-1])
+                kernel = np.asarray(hp["kernel"]).copy()
+                kernel[..., :n] = k[..., :n]
+                hp["kernel"] = jnp.asarray(kernel)
+                loaded += 1
+            else:
+                hp = params["classifier_head"]
+                n = min(hp["bias"].shape[0], v.shape[0])
+                bias = np.asarray(hp["bias"]).copy()
+                bias[:n] = v[:n]
+                hp["bias"] = jnp.asarray(bias)
+                loaded += 1
+    return params, batch_stats, loaded

@@ -267,6 +267,48 @@ def test_transeg_forward_parity():
     )
 
 
+@pytest.mark.parametrize("bilinear", [False, True])
+def test_unet_forward_parity(bilinear):
+    """UNet encoder/decoder vs the reference (networks/unet.py:10-180):
+    DoubleConv stacks, maxpool Down, bilinear-or-transposed Up with skip
+    concat, 1x1 classifier."""
+    networks = load_reference_networks()
+    from bacs_tpu.utils.torch_weights import convert_reference_unet
+
+    n_cls, crop, layers = 7, 64, 4
+    torch.manual_seed(5)
+    ref = networks.UNet(
+        n_channels=3, bilinear=bilinear, num_layers=layers,
+        pretrained_backbone=False,
+    )
+    ref.classifier_head = ref.get_classification_head(n_cls)
+    _randomize_norms(ref)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    net = create_network(
+        "unet", num_classes=n_cls, norm="abn", axis_name=None,
+        bilinear=bilinear, num_layers=layers,
+    )
+    x = np.random.RandomState(6).rand(2, crop, crop, 3).astype(np.float32)
+    variables = net.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(x), train=False,
+    )
+    params, stats, loaded = convert_reference_unet(sd, variables)
+    expected = len([k for k in sd if not k.endswith("num_batches_tracked")])
+    assert loaded == expected, f"only {loaded}/{expected} tensors converted"
+
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    out = net.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x), train=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.logits), _to_nhwc(logits_t), atol=TOL, rtol=0
+    )
+
+
 def test_atrous_encoder_parity():
     """SDR ResNet_Atrous DeepLab: 5 backbone attentions, BN+ReLU momentum
     3e-4, last-stage atrous multipliers (reference: networks/resnet_atrous.py,
