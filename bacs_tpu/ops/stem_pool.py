@@ -41,6 +41,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 Array = jax.Array
 
@@ -227,11 +228,7 @@ def _fwd_kernel(cm_ref, ct_ref, a_ref, b_ref, p_ref, *, slope, C, RB):
 
 
 def _fwd_pallas(c: Array, a: Array, b: Array, slope: float):
-    from jax.experimental import pallas as pl_mod
     from jax.experimental.pallas import tpu as pltpu
-
-    global pl
-    pl = pl_mod
 
     n, h, w, C = c.shape
     h2, w2 = h // 2, w // 2
@@ -240,25 +237,25 @@ def _fwd_pallas(c: Array, a: Array, b: Array, slope: float):
     a2 = jnp.concatenate([a, a]).reshape(1, 1, 2 * C).astype(c.dtype)
     b2 = jnp.concatenate([b, b]).reshape(1, 1, 2 * C).astype(c.dtype)
 
-    vspec = pl_mod.BlockSpec((1, 1, 2 * C), lambda i, j: (0, 0, 0),
+    vspec = pl.BlockSpec((1, 1, 2 * C), lambda i, j: (0, 0, 0),
                              memory_space=pltpu.VMEM)
-    p = pl_mod.pallas_call(
+    p = pl.pallas_call(
         functools.partial(_fwd_kernel, slope=slope, C=C, RB=RB),
         out_shape=jax.ShapeDtypeStruct((n, h2, w2, C), c.dtype),
         grid=(n, h2 // RB),
         in_specs=[
-            pl_mod.BlockSpec((1, 2 * RB, w2, 2 * C),
+            pl.BlockSpec((1, 2 * RB, w2, 2 * C),
                              lambda i, j: (i, j, 0, 0),
                              memory_space=pltpu.VMEM),
             # one-row top halo: global row 2*RB*j - 1 (clamped; masked j==0)
-            pl_mod.BlockSpec((1, 1, w2, 2 * C),
+            pl.BlockSpec((1, 1, w2, 2 * C),
                              lambda i, j: (i, jnp.maximum(2 * RB * j - 1, 0),
                                            0, 0),
                              memory_space=pltpu.VMEM),
             vspec,
             vspec,
         ],
-        out_specs=pl_mod.BlockSpec((1, RB, w2, C), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, RB, w2, C), lambda i, j: (i, j, 0, 0),
                                    memory_space=pltpu.VMEM),
     )(c2, c2, a2, b2)
     return p
@@ -337,11 +334,7 @@ def _bwd_kernel(cm_ref, ct_ref, cb1_ref, cb2_ref, dm_ref, dn_ref,
 
 def _bwd_pallas(c, dap, g, g_mean_da, g_mean_da_xhat, mean, inv,
                 scale, bias, slope):
-    from jax.experimental import pallas as pl_mod
     from jax.experimental.pallas import tpu as pltpu
-
-    global pl
-    pl = pl_mod
 
     n, h, w, C = c.shape
     h2, w2 = h // 2, w // 2
@@ -353,36 +346,36 @@ def _bwd_pallas(c, dap, g, g_mean_da, g_mean_da_xhat, mean, inv,
     def vec2(v):  # per-channel vector tiled over both column parities
         return jnp.concatenate([v, v]).reshape(1, 1, 2 * C).astype(dt)
 
-    vspec = pl_mod.BlockSpec((1, 1, 2 * C), lambda i, j: (0, 0, 0),
+    vspec = pl.BlockSpec((1, 1, 2 * C), lambda i, j: (0, 0, 0),
                              memory_space=pltpu.VMEM)
     row = lambda r: (lambda i, j, r=r: (i, r(j), 0, 0))  # noqa: E731
-    dc2 = pl_mod.pallas_call(
+    dc2 = pl.pallas_call(
         functools.partial(_bwd_kernel, slope=slope, C=C, RB=RB),
         out_shape=jax.ShapeDtypeStruct((n, h, w2, 2 * C), dt),
         grid=(n, h2 // RB),
         in_specs=[
-            pl_mod.BlockSpec((1, 2 * RB, w2, 2 * C),
+            pl.BlockSpec((1, 2 * RB, w2, 2 * C),
                              lambda i, j: (i, j, 0, 0),
                              memory_space=pltpu.VMEM),
-            pl_mod.BlockSpec((1, 1, w2, 2 * C),
+            pl.BlockSpec((1, 1, w2, 2 * C),
                              row(lambda j: jnp.maximum(2 * RB * j - 1, 0)),
                              memory_space=pltpu.VMEM),
-            pl_mod.BlockSpec((1, 1, w2, 2 * C),
+            pl.BlockSpec((1, 1, w2, 2 * C),
                              row(lambda j: jnp.minimum(2 * RB * (j + 1),
                                                        h - 1)),
                              memory_space=pltpu.VMEM),
-            pl_mod.BlockSpec((1, 1, w2, 2 * C),
+            pl.BlockSpec((1, 1, w2, 2 * C),
                              row(lambda j: jnp.minimum(2 * RB * (j + 1) + 1,
                                                        h - 1)),
                              memory_space=pltpu.VMEM),
-            pl_mod.BlockSpec((1, RB, w2, C), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, RB, w2, C), lambda i, j: (i, j, 0, 0),
                              memory_space=pltpu.VMEM),
-            pl_mod.BlockSpec((1, 1, w2, C),
+            pl.BlockSpec((1, 1, w2, C),
                              row(lambda j: jnp.minimum(RB * (j + 1),
                                                        h2 - 1)),
                              memory_space=pltpu.VMEM),
         ] + [vspec] * 7,
-        out_specs=pl_mod.BlockSpec((1, 2 * RB, w2, 2 * C),
+        out_specs=pl.BlockSpec((1, 2 * RB, w2, 2 * C),
                                    lambda i, j: (i, j, 0, 0),
                                    memory_space=pltpu.VMEM),
     )(c2, c2, c2, c2, dap, dap,
