@@ -65,12 +65,19 @@ def _fetch(url: str, dest: str) -> str:
 
 def _extract(archive: str, dest_dir: str) -> None:
     os.makedirs(dest_dir, exist_ok=True)
+    dest_real = os.path.realpath(dest_dir)
     if archive.endswith(".zip"):
         with zipfile.ZipFile(archive) as z:
+            # reject members escaping dest (zip-slip: archives arrive over
+            # plain http)
+            for name in z.namelist():
+                target = os.path.realpath(os.path.join(dest_real, name))
+                if not target.startswith(dest_real + os.sep):
+                    raise DownloadError(f"unsafe zip member path: {name!r}")
             z.extractall(dest_dir)
     else:
         with tarfile.open(archive) as t:
-            t.extractall(dest_dir)
+            t.extractall(dest_dir, filter="data")  # tar-slip guard
 
 
 def download_voc(root: str) -> str:
@@ -131,13 +138,17 @@ def download_cityscapes(root: str, username: str, password: str) -> str:
             for pkg, dest in ((1, fine_zip), (3, img_zip)):
                 if os.path.isfile(dest):
                     continue
+                # stream: leftImg8bit_trainvaltest.zip is ~11 GB — never
+                # buffer it in RAM on this single-core host
                 r = session.get(
-                    CITYSCAPES_PKG.format(pkg), allow_redirects=True, timeout=600
+                    CITYSCAPES_PKG.format(pkg), allow_redirects=True,
+                    timeout=600, stream=True,
                 )
                 r.raise_for_status()
                 os.makedirs(root, exist_ok=True)
                 with open(dest + ".part", "wb") as f:
-                    f.write(r.content)
+                    for chunk in r.iter_content(chunk_size=1 << 20):
+                        f.write(chunk)
                 os.replace(dest + ".part", dest)
         except Exception as e:
             raise DownloadError(

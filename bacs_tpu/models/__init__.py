@@ -38,8 +38,9 @@ def create_network(
     short names ("deeplab", "unet", "transeg").
     """
     short = name.rsplit(".", 1)[-1].lower()
-    # SDR-style atrous encoder: output stride 8 with plain sync-BN momentum
-    # 3e-4 (reference: networks/resnet_atrous.py:31,129; deeplab_v3.py:72-75)
+    # SDR-style atrous encoder: plain sync-BN momentum 3e-4, default output
+    # stride 16 like any DeepLab (reference: networks/resnet_atrous.py:31,129;
+    # deeplab_v3.py:29 `output_stride = kwargs.get(..., 16)`)
     atrous = bool(kwargs.get("atrous_encoder"))
     if atrous:
         # SDR atrous encoder: SynchronizedBatchNorm2d(momentum 3e-4) on the

@@ -35,10 +35,18 @@ def _apply(x, mean, inv, scale, bias, slope):
     return jnp.where(y >= 0, y, y * slope)
 
 
+def _safe_scale(scale, eps=1e-12):
+    """Sign-preserving clamp away from 0: the in-place inversion divides
+    by scale, which weight decay can drive through exactly 0 (torch
+    inplace-abn guards with weight.abs()+eps; CLAUDE.md invariant)."""
+    mag = jnp.maximum(jnp.abs(scale), eps)
+    return jnp.where(scale < 0, -mag, mag)
+
+
 def _invert(y, scale, bias, slope):
     """Recover x̂ from the activated output (inplace-ABN inversion)."""
     z = jnp.where(y >= 0, y, y / slope)
-    return (z - bias) / scale
+    return (z - bias) / _safe_scale(scale)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -92,8 +100,9 @@ def _fused_abn_bwd(eps, slope, axis_name, res, cts):
     # recover x̂ from the output, all in the activation dtype (one pass)
     inv_slope = jnp.asarray(1.0 / slope, dtype)
     z = jnp.where(y >= 0, y, y * inv_slope)
-    inv_scale = (1.0 / scale).astype(dtype)
-    neg_b = (-bias / scale).astype(dtype)
+    safe = _safe_scale(scale)
+    inv_scale = (1.0 / safe).astype(dtype)
+    neg_b = (-bias / safe).astype(dtype)
     x_hat = z * inv_scale + neg_b
     da = jnp.where(y >= 0, dy, dy * jnp.asarray(slope, dtype))
     reduce_axes = tuple(range(y.ndim - 1))

@@ -439,7 +439,11 @@ def _fused_abn_pool_bwd(eps, slope, axis_name, res, cts):
     # and x_hat at max recovers from p by inverting activation + affine
     dap = jnp.where(p >= 0, dp, dp * jnp.asarray(slope, dtype)).astype(dtype)
     z = jnp.where(p >= 0, p, p * jnp.asarray(1.0 / slope, dtype))
-    x_hat_max = (z - bias.astype(dtype)) * (1.0 / scale).astype(dtype)
+    from bacs_tpu.ops.abn_core import _safe_scale
+
+    x_hat_max = (z - bias.astype(dtype)) * (
+        1.0 / _safe_scale(scale)
+    ).astype(dtype)
     sum_da = jnp.sum(dap, axis=tuple(range(p.ndim - 1)), dtype=jnp.float32)
     sum_da_xhat = jnp.sum(
         dap * x_hat_max, axis=tuple(range(p.ndim - 1)), dtype=jnp.float32

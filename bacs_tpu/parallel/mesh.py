@@ -43,3 +43,25 @@ def make_data_mesh(n_devices: Optional[int] = None) -> Optional[Mesh]:
     if n <= 1:
         return None
     return Mesh(np.array(devices[:n]), ("data",))
+
+
+def make_spatial_mesh(
+    n_space: int, n_devices: Optional[int] = None
+) -> Optional[Mesh]:
+    """2-D (data, space) mesh: batch sharded over `data`, image HEIGHT over
+    `space`.
+
+    Spatial partitioning is pure GSPMD — the step is a plain jit with
+    `P('data', 'space')` batch shardings and XLA inserts the convolution
+    halo exchanges and cross-chip BN/grad reductions itself.  It scales a
+    fixed global batch past the data-parallel limit (e.g. batch 16 on 32
+    chips as 8 dp x 4 sp), something the reference's DDP cannot express.
+    """
+    devices = jax.devices()
+    n = len(devices) if n_devices is None else min(n_devices, len(devices))
+    if n <= 1 or n_space <= 1:
+        return None
+    if n % n_space:
+        raise ValueError(f"{n} devices not divisible by n_space={n_space}")
+    arr = np.array(devices[:n]).reshape(n // n_space, n_space)
+    return Mesh(arr, ("data", "space"))

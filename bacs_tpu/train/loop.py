@@ -53,11 +53,30 @@ class Trainer:
         self.lr_next = tcfg.get("lr_next", None)
         self.ignore_index = 255
 
-        # device mesh (reference: CustomDDP/NCCL → jax Mesh over `data`)
+        # device mesh (reference: CustomDDP/NCCL → jax Mesh over `data`).
+        # training.spatial_partition=N adds a second `space` axis: the image
+        # height is GSPMD-sharded over N chips (halo exchanges + cross-chip
+        # BN/grad reductions inserted by XLA) — see step.make_gspmd_steps.
         n_dev = int(tcfg.get("n_devices", tcfg.get("n_gpus", 1)) or 1)
         avail = len(jax.devices())
         self.n_devices = min(max(n_dev, 1), avail)
-        if self.n_devices > 1:
+        self.spatial_partition = int(tcfg.get("spatial_partition", 0) or 0)
+        if self.spatial_partition > 1 and self.n_devices > 1:
+            import os
+
+            from bacs_tpu.parallel.mesh import make_spatial_mesh
+
+            self.mesh = make_spatial_mesh(
+                self.spatial_partition, self.n_devices
+            )
+            # GSPMD computes global reductions; named-axis collectives and
+            # pallas custom calls (unshardable by the SPMD partitioner)
+            # must stay off
+            self.axis_name = None
+            os.environ["BACS_FUSED_UPSAMPLE_CE"] = "0"
+            # the batch axis only spans the data dimension of the mesh
+            self.n_devices = self.n_devices // self.spatial_partition
+        elif self.n_devices > 1:
             from jax.sharding import Mesh
 
             self.mesh = Mesh(
@@ -280,16 +299,23 @@ class Trainer:
             self.state, ctx, dm.train_batches(epoch=0, n_devices=self.n_devices)
         )
 
-        train_step, eval_step, put_batch = make_steps(
-            ctx, self.method, tx, dm.num_classes, mesh=self.mesh
-        )
+        if self.spatial_partition > 1 and self.mesh is not None:
+            from bacs_tpu.train.step import make_gspmd_steps
+
+            train_step, eval_step, put_batch = make_gspmd_steps(
+                ctx, self.method, tx, dm.num_classes, mesh=self.mesh
+            )
+        else:
+            train_step, eval_step, put_batch = make_steps(
+                ctx, self.method, tx, dm.num_classes, mesh=self.mesh
+            )
         # K steps per dispatch amortize host→device call overhead
         # (~70 ms/dispatch on tunneled runtimes; scripts/profile_step.py)
         steps_per_dispatch = int(
             self.config["training"].get("steps_per_dispatch", 1) or 1
         )
         multi_step = None
-        if steps_per_dispatch > 1:
+        if steps_per_dispatch > 1 and self.spatial_partition <= 1:
             from bacs_tpu.train.step import make_multi_step
 
             multi_step = make_multi_step(ctx, self.method, tx, mesh=self.mesh)
@@ -343,6 +369,7 @@ class Trainer:
 
         for epoch in range(start_epoch, self._epochs_for(task_id)):
             skip = resume_skip if epoch == start_epoch else 0
+            saved_chunks = skip // ckpt_every if ckpt_every else 0
             self.state = self.state.replace(
                 epoch=jnp.asarray(epoch, jnp.int32),
                 epoch_step=jnp.asarray(skip, jnp.int32),
@@ -386,12 +413,18 @@ class Trainer:
                             else batch["image"].shape[0]
                         )
                         self._timing["seconds"] += dt
+                # save at the first *dispatch* after each ckpt_every
+                # boundary: with steps_per_dispatch > 1 this line is only
+                # reached when a dispatch fired, so an exact modulo test
+                # would never match unless the dispatch size divides
+                # ckpt_every
                 if (
                     self.save_checkpoints
                     and ckpt_every
-                    and (i + 1) % ckpt_every == 0
+                    and (i + 1) // ckpt_every > saved_chunks
                     and (i + 1) < steps_epoch
                 ):
+                    saved_chunks = (i + 1) // ckpt_every
                     from bacs_tpu.utils.checkpoint import save_task_checkpoint
 
                     save_task_checkpoint(

@@ -189,3 +189,52 @@ def make_steps(
         }
 
     return train_step, eval_step, put_batch
+
+
+def make_gspmd_steps(
+    ctx: ModelContext,
+    method: Method,
+    tx: optax.GradientTransformation,
+    num_classes: int,
+    mesh: Mesh,
+) -> Tuple[Callable, Callable, Callable]:
+    """(train_step, eval_step, put_batch) under GSPMD spatial partitioning.
+
+    The batch is sharded `P('data', 'space')` — N over the data axis, image
+    HEIGHT over the space axis — and the step body is the plain
+    single-program impl (ctx must have axis_name=None): XLA's SPMD
+    partitioner inserts the convolution halo exchanges, turns the global
+    `jnp.mean` BN statistics into cross-chip reductions (sync-BN for free,
+    exactly), and all-reduces the gradients.  No shard_map, no named-axis
+    collectives.
+
+    Caveat: Pallas custom calls cannot be spatially partitioned by GSPMD —
+    the Trainer disables the fused upsample-CE kernel (env gate) when this
+    path is active; `fused_abn` is pure-jnp custom_vjp and shards fine.
+    """
+    assert ctx.axis_name is None, "GSPMD path uses global (unnamed) reductions"
+    assert mesh.axis_names == ("data", "space"), mesh.axis_names
+    train_impl = partial(_train_step_impl, ctx, method, tx)
+    eval_impl = partial(_eval_step_impl, ctx, method, num_classes)
+
+    repl = NamedSharding(mesh, P())
+    nhwc = NamedSharding(mesh, P("data", "space"))
+    batch_sh = {"image": nhwc, "label": nhwc}
+
+    train_step = jax.jit(
+        train_impl,
+        in_shardings=(repl, batch_sh),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    eval_step = jax.jit(
+        eval_impl,
+        in_shardings=(repl, repl, batch_sh),
+        out_shardings=(repl, repl),
+        donate_argnums=(1,),
+    )
+
+    def put_batch(batch: Dict[str, Any]) -> Dict[str, Array]:
+        return {k: jax.device_put(v, nhwc) for k, v in batch.items()}
+
+    return train_step, eval_step, put_batch

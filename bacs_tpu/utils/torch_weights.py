@@ -243,7 +243,11 @@ def convert_reference_deeplab(
 
     def set_norm(tree_p, tree_s, mod, leaf, value):
         if leaf == "weight":
-            return set_leaf(tree_p, [mod, "scale"], np.abs(value))
+            # inplace-ABN reparameterizes scale as |weight|; the atrous/`bn`
+            # variant uses plain signed BatchNorm2d (BNReLUAct) — abs() there
+            # would silently flip negative head scales
+            scale = value if is_atrous else np.abs(value)
+            return set_leaf(tree_p, [mod, "scale"], scale)
         if leaf == "bias":
             return set_leaf(tree_p, [mod, "bias"], value)
         if leaf == "running_mean":

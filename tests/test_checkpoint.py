@@ -143,6 +143,51 @@ def test_mid_epoch_checkpoint_and_resume(tmp_path):
     assert int(trainer2.state.step) == int(ref.state.step)
 
 
+def test_mid_epoch_checkpoint_fires_with_multi_step_dispatch(tmp_path):
+    """ckpt_every not divisible by steps_per_dispatch: the save must fire at
+    the first dispatch past each boundary (an exact modulo test would never
+    match — the save block is only reached when a dispatch fires)."""
+    from bacs_tpu.config.core import load_config
+    from bacs_tpu.train.loop import Trainer
+
+    ckpt = str(tmp_path / "ckpt")
+    cfg = load_config(
+        "conf/continual_debug",
+        "config",
+        [
+            "training.debug=false",
+            "training.epochs=1",
+            "dataset.dataset.n_train=48",  # task 0 needs > 6 train batches
+            f"+training.ckpt_dir={ckpt}",
+            "+training.ckpt_every_steps=3",
+            "+training.steps_per_dispatch=2",
+        ],
+    )
+    trainer = Trainer(cfg)
+
+    class Killed(Exception):
+        pass
+
+    dm = trainer.datamodule
+    orig = dm.train_batches
+
+    def dying_batches(epoch, n_devices=1, **kw):
+        for i, b in enumerate(orig(epoch=epoch, n_devices=n_devices, **kw)):
+            if i == 5:  # boundary at i+1==3; dispatch at i==3 saves (4 done)
+                raise Killed()
+            yield b
+
+    dm.train_batches = dying_batches
+    with np.testing.assert_raises(Killed):
+        trainer._run_task(0)
+    dm.train_batches = orig
+    assert os.path.isdir(os.path.join(ckpt, "step_0", "last"))
+
+    trainer2 = Trainer(cfg)
+    assert trainer2._try_resume() == 0
+    assert int(trainer2.state.epoch_step) == 4
+
+
 def test_completed_task_resume_starts_next_task(tmp_path, monkeypatch):
     """End-to-end: a run killed after task 0's `final` (but with a stale
     `last` in the same step dir) resumes at task 1 without re-running task 0's

@@ -218,3 +218,48 @@ def test_multi_step_scan_on_mesh():
     for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_gspmd_spatial_partition_matches_single_device():
+    """2-D (data=2, space=4) GSPMD mesh: batch sharded over N, image HEIGHT
+    over chips.  XLA inserts the conv halo exchanges and turns the global
+    BN means into cross-chip reductions, so the step must match the
+    single-device step exactly (same program, partitioned execution)."""
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from bacs_tpu.parallel.mesh import make_spatial_mesh
+    from bacs_tpu.train.step import make_gspmd_steps
+
+    batch = _batch()
+    method = CrossEntropyMethod()
+
+    net1, task, tx1, state1 = _setup(axis_name=None)
+    train1, eval1, _ = make_steps(
+        ModelContext(net1, task, None), method, tx1, 4, mesh=None
+    )
+    ref_state, ref_metrics = train1(state1, batch)
+
+    mesh = make_spatial_mesh(4, 8)
+    assert mesh is not None and mesh.devices.shape == (2, 4)
+    netS, task, txS, stateS = _setup(axis_name=None)
+    trainS, evalS, putS = make_gspmd_steps(
+        ModelContext(netS, task, None), method, txS, 4, mesh=mesh
+    )
+    stateS, metricsS = trainS(stateS, putS(batch))
+
+    np.testing.assert_allclose(
+        float(ref_metrics["loss"]), float(metricsS["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(ref_state.params), jax.tree.leaves(stateS.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4
+        )
+
+    cm1 = jnp.zeros((4, 4), jnp.int32)
+    cm1, _ = eval1(ref_state, cm1, batch)
+    cmS = jnp.zeros((4, 4), jnp.int32)
+    cmS, _ = evalS(stateS, cmS, putS(batch))
+    np.testing.assert_array_equal(np.asarray(cm1), np.asarray(cmS))
