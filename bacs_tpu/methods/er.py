@@ -89,7 +89,11 @@ class ExperienceReplayMethod(Method):
             replay_loss, new_bs = self._replay_er_loss(
                 ctx, params, state, new_bs, r_sample
             )
-            loss = loss + self.alpha * replay_loss
+            # α is applied TWICE in the reference — once inside
+            # _replay_er_loss (er.py:298) and once at the call site
+            # (er.py:181).  Deliberate quirk preservation; every shipped
+            # config keeps the ER alpha at its default 1.0.
+            loss = loss + self.alpha * self.alpha * replay_loss
         return loss, StepAux(
             logits=out.logits[..., : ctx.n_cur],
             batch_stats=new_bs,

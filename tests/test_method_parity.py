@@ -327,6 +327,75 @@ def test_sdr_compute_loss_parity(cl_pair):
     )
 
 
+def test_er_compute_loss_parity(cl_pair, monkeypatch):
+    """ER: main CE + α²·(old-class-weighted replay CE) on an injected
+    identical replay batch (reference experience_replay.py:153-183,244-300 —
+    α is deliberately applied twice, at the call site AND inside
+    _replay_er_loss)."""
+    ref, ref_prev, ctx, state, x, y = cl_pair
+    L = load_reference_loss()
+
+    er = L.ExperienceReplay(alpha=0.7, same_task=False)
+    er.old_classes = OLD
+    er.nb_current_classes = N_CLASSES
+    er.nb_new_classes = NEW
+    er.initial_classes = OLD
+    er.increment = NEW
+    er.device = torch.device("cpu")
+    er._use_er_loss = True
+
+    rs = np.random.RandomState(41)
+    B = 2
+    imgs_r = rs.rand(B, CROP, CROP, 3).astype(np.float32)
+    labs_r = rs.randint(0, OLD, (B, CROP, CROP)).astype(np.int64)
+    labs_r[rs.rand(B, CROP, CROP) < 0.05] = 255
+    memory_data = (
+        {},
+        torch.from_numpy(np.transpose(imgs_r, (0, 3, 1, 2))),
+        None,
+        torch.from_numpy(labs_r),
+        None,
+        -1,  # non-same-task buffer → weights over [1, old_classes)
+    )
+    er._sample_buffer = lambda buffer=None, **kw: memory_data
+    er._get_random_buffer = lambda: None
+
+    ref_t = copy.deepcopy(ref)
+    ref_t.train()
+    with torch.no_grad():
+        loss_t, _ = er.compute_loss(_torch_batch(x, y), ref_t, train=True)
+
+    import bacs_tpu.data.transforms as transforms_mod
+    import bacs_tpu.methods.er as er_mod
+
+    method = create_method(
+        "loss.ExperienceReplay", alpha=0.7, same_task=False
+    )
+    mem = {
+        "images": jnp.asarray(imgs_r),
+        "logits": jnp.zeros((B, 8, 8, N_CLASSES)),
+        "labels": jnp.asarray(labs_r.astype(np.int32)),
+        "n_classes": jnp.full((B,), OLD, jnp.int32),
+        "indices": jnp.arange(B),
+        "task_id": jnp.asarray(-1, jnp.int32),
+    }
+    monkeypatch.setattr(
+        method, "_sample_replay", lambda state, rng, tid: mem
+    )
+    monkeypatch.setattr(
+        transforms_mod, "replay_augment", lambda rng, im, lab: (im, lab)
+    )
+    # our compute_loss gates replay on state.buffer — any non-None works
+    # since sampling is stubbed
+    state_b = state.replace(buffer=mem)
+    loss_j, _ = method.compute_loss(
+        ctx, state_b.params, state_b,
+        {"image": jnp.asarray(x), "label": jnp.asarray(y.astype(np.int32))},
+        train=True, rng=jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=2e-2)
+
+
 # ---------------------------------------------------------------------------
 # BACS — the headline method: weighted CE + seen detector + teacher distill
 # + dark replay terms (reference: loss/bacs_loss.py)
