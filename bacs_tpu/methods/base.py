@@ -305,11 +305,10 @@ class Method:
             import os
 
             use_fused_ce = (
-                class_weights is None
-                and sem.shape[1] < labels.shape[1]
+                sem.shape[1] < labels.shape[1]
                 and os.environ.get("BACS_FUSED_UPSAMPLE_CE", "1") != "0"
             )
-            if use_fused_ce:
+            if use_fused_ce and class_weights is None:
                 # fused upsample+CE Pallas kernel (ops/upsample_ce.py) — the
                 # full-res logits never materialize.  In the full train step
                 # the XLA-composed resize+CE costs +66 ms (memory-pressure
@@ -318,6 +317,17 @@ class Method:
 
                 loss = upsampled_cross_entropy(
                     sem, labels, labels.shape[1:3], self.ignore_index
+                )
+            elif use_fused_ce:
+                # replay CE with per-class weights rides the same kernel
+                # (torch weighted-mean semantics)
+                from bacs_tpu.ops.upsample_ce import (
+                    upsampled_weighted_cross_entropy,
+                )
+
+                loss = upsampled_weighted_cross_entropy(
+                    sem, labels, class_weights, labels.shape[1:3],
+                    self.ignore_index,
                 )
             else:
                 loss = cross_entropy(

@@ -319,3 +319,211 @@ def _uce_bwd(out_hw, ignore_index, res, g):
 
 
 upsampled_cross_entropy.defvjp(_uce_fwd, _uce_bwd)
+
+
+# ---------------------------------------------------------------------------
+# per-class-weighted variant (ER / dark++ replay CE: torch weighted-mean
+# semantics — sum(w[y]·nll) / sum(w[y]); the weight vector is a constant
+# class mask, so it gets a zero cotangent)
+# ---------------------------------------------------------------------------
+
+
+def _wce_sums_jnp(sem, labels, weights, kh, kw, ignore_index):
+    up = jnp.einsum("Hh,nhwc->nHwc", kh, sem.astype(jnp.float32))
+    up = jnp.einsum("Ww,nHwc->nHWc", kw, up)
+    mask = labels != ignore_index
+    safe = jnp.where(mask, labels, 0)
+    lse = jax.nn.logsumexp(up, axis=-1)
+    lab = jnp.take_along_axis(up, safe[..., None], axis=-1)[..., 0]
+    wpix = weights.astype(jnp.float32)[safe] * mask
+    return jnp.sum((lse - lab) * wpix), jnp.sum(wpix)
+
+
+def _fwd_kernel_w(starts_ref, z_ref, labels_ref, kh_ref, w_ref, out_ref, *, hb):
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    start = starts_ref[j]
+    zs = z_ref[0, pl.ds(start, hb)]
+    ky = kh_ref[0]
+    tile = jnp.einsum("Rh,hcW->RcW", ky, zs, preferred_element_type=jnp.float32)
+    labels = labels_ref[0]
+    c_pad = tile.shape[1]
+    m = jnp.max(tile, axis=1)
+    e = jnp.exp(tile - m[:, None, :])
+    lse = m + jnp.log(jnp.sum(e, axis=1))
+    valid = labels != 255
+    safe = jnp.where(valid, labels, 0)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad, 1), 1)
+    onehot = ch == safe[:, None, :]
+    lab = jnp.sum(jnp.where(onehot, tile, 0.0), axis=1)
+    wv = w_ref[0]  # [c_pad, 1]; pad channels carry weight 0
+    wpix = jnp.sum(jnp.where(onehot, wv[None, :, :], 0.0), axis=1)
+    wpix = wpix * valid.astype(jnp.float32)
+    loss_sum = jnp.sum((lse - lab) * wpix)
+    wsum = jnp.sum(wpix)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    upd = jnp.where((row == 0) & (col == 0), loss_sum, 0.0) + jnp.where(
+        (row == 0) & (col == 1), wsum, 0.0
+    )
+    out_ref[0] += upd
+
+
+def _bwd_kernel_w(starts_ref, z_ref, labels_ref, kh_ref, w_ref, g_ref, dz_ref,
+                  *, hb):
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        dz_ref[...] = jnp.zeros_like(dz_ref)
+
+    start = starts_ref[j]
+    zs = z_ref[0, pl.ds(start, hb)]
+    ky = kh_ref[0]
+    tile = jnp.einsum("Rh,hcW->RcW", ky, zs, preferred_element_type=jnp.float32)
+    labels = labels_ref[0]
+    c_pad = tile.shape[1]
+    m = jnp.max(tile, axis=1, keepdims=True)
+    e = jnp.exp(tile - m)
+    softmax = e / jnp.sum(e, axis=1, keepdims=True)
+    valid = labels != 255
+    safe = jnp.where(valid, labels, 0)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad, 1), 1)
+    onehot = (ch == safe[:, None, :]).astype(jnp.float32)
+    wv = w_ref[0]
+    wpix = jnp.sum(jnp.where(onehot > 0, wv[None, :, :], 0.0), axis=1)
+    wpix = wpix * valid.astype(jnp.float32)
+    g = g_ref[0, 0]
+    dtile = (softmax - onehot) * (wpix * g)[:, None, :]
+    upd = jnp.einsum("Rh,RcW->hcW", ky, dtile, preferred_element_type=jnp.float32)
+    dz_ref[0, pl.ds(start, hb)] += upd
+
+
+def _pad_w(weights: Array, c_pad: int) -> Array:
+    w = weights.astype(jnp.float32)
+    return jnp.pad(w, (0, c_pad - w.shape[0])).reshape(1, c_pad, 1)
+
+
+def _wce_sums_pallas(sem, labels, weights, kh, kw):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w, _ = sem.shape
+    H, W = kh.shape[0], kw.shape[0]
+    z = _w_interp(sem, kw)
+    c_pad = z.shape[2]
+    starts, kh_blocks = _block_kh(H, h, ROW_BLOCK)
+    hb = kh_blocks.shape[2]
+    out = pl.pallas_call(
+        partial(_fwd_kernel_w, hb=hb),
+        out_shape=jax.ShapeDtypeStruct((n, 8, 128), jnp.float32),
+        grid=(n, H // ROW_BLOCK),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, c_pad, W), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ROW_BLOCK, W), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ROW_BLOCK, hb), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_pad, 1), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(starts, z, labels.astype(jnp.int32), kh_blocks, _pad_w(weights, c_pad))
+    return jnp.sum(out[:, 0, 0]), jnp.sum(out[:, 0, 1])
+
+
+def _dsem_pallas_w(sem, labels, weights, kh, kw, g):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w, _ = sem.shape
+    H, W = kh.shape[0], kw.shape[0]
+    z = _w_interp(sem, kw)
+    c_pad = z.shape[2]
+    starts, kh_blocks = _block_kh(H, h, ROW_BLOCK)
+    hb = kh_blocks.shape[2]
+    dz = pl.pallas_call(
+        partial(_bwd_kernel_w, hb=hb),
+        out_shape=jax.ShapeDtypeStruct((n, h, c_pad, W), jnp.float32),
+        grid=(n, H // ROW_BLOCK),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, c_pad, W), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ROW_BLOCK, W), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ROW_BLOCK, hb), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_pad, 1), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, c_pad, W), lambda i, j: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(starts, z, labels.astype(jnp.int32), kh_blocks, _pad_w(weights, c_pad),
+      g.reshape(1, 1))
+    dsem = jnp.einsum("Ww,nhcW->nhwc", kw, dz[:, :, : sem.shape[-1], :])
+    return dsem.astype(sem.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def upsampled_weighted_cross_entropy(
+    sem_logits: Array,
+    labels: Array,
+    class_weights: Array,
+    out_hw: Tuple[int, int],
+    ignore_index: int = 255,
+) -> Array:
+    """torch-semantics weighted mean CE of the bilinear-upsampled logits:
+    sum(w[y]·nll) / sum(w[y]) over valid pixels."""
+    loss_sum, wsum = _wce_sums(sem_logits, labels, class_weights, out_hw,
+                               ignore_index)
+    return loss_sum / jnp.maximum(wsum, 1e-8)
+
+
+def _wce_sums(sem, labels, weights, out_hw, ignore_index):
+    kh, kw = _kmats(sem, out_hw)
+    if _use_pallas(sem, out_hw) and ignore_index == 255:
+        return _wce_sums_pallas(sem, labels, weights, kh, kw)
+    return _wce_sums_jnp(sem, labels, weights, kh, kw, ignore_index)
+
+
+def _uwce_fwd(sem, labels, weights, out_hw, ignore_index):
+    loss_sum, wsum = _wce_sums(sem, labels, weights, out_hw, ignore_index)
+    return loss_sum / jnp.maximum(wsum, 1e-8), (sem, labels, weights, wsum)
+
+
+def _uwce_bwd(out_hw, ignore_index, res, g):
+    sem, labels, weights, wsum = res
+    kh, kw = _kmats(sem, out_hw)
+    gn = g / jnp.maximum(wsum, 1e-8)
+    if _use_pallas(sem, out_hw) and ignore_index == 255:
+        dsem = _dsem_pallas_w(
+            sem, labels, weights, kh, kw, gn.astype(jnp.float32)
+        )
+        return dsem, None, jnp.zeros_like(weights)
+    up = jnp.einsum("Hh,nhwc->nHwc", kh, sem.astype(jnp.float32))
+    up = jnp.einsum("Ww,nHwc->nHWc", kw, up)
+    mask = labels != ignore_index
+    safe = jnp.where(mask, labels, 0)
+    soft = jax.nn.softmax(up, axis=-1)
+    onehot = jax.nn.one_hot(safe, sem.shape[-1])
+    wpix = weights.astype(jnp.float32)[safe] * mask
+    dup = (soft - onehot) * (wpix * gn)[..., None]
+    dsem = jnp.einsum("Ww,nHWc->nHwc", kw, dup)
+    dsem = jnp.einsum("Hh,nHwc->nhwc", kh, dsem).astype(sem.dtype)
+    return dsem, None, jnp.zeros_like(weights)
+
+
+upsampled_weighted_cross_entropy.defvjp(_uwce_fwd, _uwce_bwd)

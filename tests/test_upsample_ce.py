@@ -42,6 +42,31 @@ def test_identity_size(rng):
     np.testing.assert_allclose(float(fused), float(ref), rtol=1e-5)
 
 
+def test_weighted_value_and_grad_match_composed(rng):
+    """Per-class-weighted variant: torch weighted-mean semantics
+    (sum w[y]*nll / sum w[y]) + gradient parity."""
+    from bacs_tpu.ops.upsample_ce import upsampled_weighted_cross_entropy
+
+    sem = jnp.asarray(rng.randn(2, 8, 8, 5).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 5, (2, 32, 32)).astype(np.int32))
+    labels = labels.at[0, :4].set(255)
+    w = jnp.asarray(np.array([0.0, 1.0, 1.0, 0.5, 0.0], np.float32))
+
+    def composed(s):
+        up = resize_bilinear(s.astype(jnp.float32), (32, 32),
+                             align_corners=False)
+        return cross_entropy(up, labels, 255, class_weights=w)
+
+    fused = upsampled_weighted_cross_entropy(sem, labels, w, (32, 32), 255)
+    np.testing.assert_allclose(float(fused), float(composed(sem)), rtol=1e-5)
+    g1 = jax.grad(
+        lambda s: upsampled_weighted_cross_entropy(s, labels, w, (32, 32), 255)
+    )(sem)
+    g2 = jax.grad(composed)(sem)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
+                               atol=1e-6)
+
+
 def test_upsampled_confusion_matches_composed(rng):
     from bacs_tpu.ops.upsample_confusion import upsampled_confusion, _conf_jnp
 
