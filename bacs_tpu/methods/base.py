@@ -290,16 +290,41 @@ class Method:
             seen_prob = jax.lax.stop_gradient(
                 ctx.seen_probs(params, bs, out.penultimate, protos)
             )
-            loss = weighted_cross_entropy(
-                logits,
-                labels,
-                seen_prob,
-                old_classes=task.old_classes,
-                gamma=self.seen_gamma,
-                threshold=self.seen_threshold,
-                ukd=self.seen_ukd,
-                ignore_index=self.ignore_index,
-            )
+            sem_w = out.sem_logits[..., : ctx.n_cur]
+            import os as _os
+
+            if (
+                sem_w.shape[1] < labels.shape[1]
+                and _os.environ.get("BACS_FUSED_UPSAMPLE_CE", "1") != "0"
+            ):
+                # fused upsample + BACS weighted CE (ops/upsample_ce.py):
+                # the full-res logits never materialize on this path either
+                from bacs_tpu.ops.upsample_ce import (
+                    upsampled_bacs_weighted_ce,
+                )
+
+                loss = upsampled_bacs_weighted_ce(
+                    sem_w,
+                    labels,
+                    jnp.max(seen_prob, axis=-1),
+                    labels.shape[1:3],
+                    task.old_classes,
+                    self.seen_gamma,
+                    self.seen_threshold,
+                    self.seen_ukd,
+                    self.ignore_index,
+                )
+            else:
+                loss = weighted_cross_entropy(
+                    logits,
+                    labels,
+                    seen_prob,
+                    old_classes=task.old_classes,
+                    gamma=self.seen_gamma,
+                    threshold=self.seen_threshold,
+                    ukd=self.seen_ukd,
+                    ignore_index=self.ignore_index,
+                )
         else:
             sem = out.sem_logits[..., : ctx.n_cur]
             import os

@@ -527,3 +527,233 @@ def _uwce_bwd(out_hw, ignore_index, res, g):
 
 
 upsampled_weighted_cross_entropy.defvjp(_uwce_fwd, _uwce_bwd)
+
+
+# ---------------------------------------------------------------------------
+# BACS seen-prob weighted CE (the headline method's main loss):
+# focal bg/fg split + new-vs-rest unbiased CE, fused with the upsample
+# (ops/losses.weighted_cross_entropy semantics, reference:
+# training/loss_utils.py:523-588).  `max_seen` is the stop-gradded
+# per-pixel max seen-probability at FULL resolution.
+# ---------------------------------------------------------------------------
+
+
+def _bacs_wce_jnp(sem, labels, max_seen, kh, kw, old_classes, gamma,
+                  threshold, ukd, ignore_index):
+    """Fallback = resize + the golden-tested weighted_cross_entropy."""
+    from bacs_tpu.ops.losses import weighted_cross_entropy
+
+    up = jnp.einsum("Hh,nhwc->nHwc", kh, sem.astype(jnp.float32))
+    up = jnp.einsum("Ww,nHwc->nHWc", kw, up)
+    return weighted_cross_entropy(
+        up, labels, max_seen[..., None], old_classes, gamma=gamma,
+        threshold=threshold, ukd=ukd, ignore_index=ignore_index,
+    )
+
+
+def _bacs_terms(tile, labels, ms, old_classes, gamma, threshold, ukd):
+    """Shared per-block math: returns (loss_map [R,W], grad [R,c,W])."""
+    c_pad = tile.shape[1]
+    m = jnp.max(tile, axis=1, keepdims=True)
+    e = jnp.exp(tile - m)  # pad channels are -1e30 -> e == 0
+    se = jnp.sum(e, axis=1, keepdims=True)
+    p = e / se  # [R, c, W]
+    den = m[:, 0, :] + jnp.log(se[:, 0, :])  # lse over channels
+
+    valid = labels != 255
+    safe = jnp.where(valid, labels, 0)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad, 1), 1)
+    onehot = (ch == safe[:, None, :]).astype(jnp.float32)
+    is_fg_ch = (ch >= 1).astype(jnp.float32)
+    is_old_ch = (ch < old_classes).astype(jnp.float32)
+
+    eps = 1e-30
+    e_fg = e * is_fg_ch
+    se_fg = jnp.sum(e_fg, axis=1, keepdims=True)
+    lse_fg = m[:, 0, :] + jnp.log(se_fg[:, 0, :] + eps)
+    s_fg = e_fg / (se_fg + eps)
+    e_old = e * is_old_ch
+    se_old = jnp.sum(e_old, axis=1, keepdims=True)
+    lse_old = m[:, 0, :] + jnp.log(se_old[:, 0, :] + eps)
+    s_old = e_old / (se_old + eps)
+
+    x0 = jnp.sum(jnp.where(ch == 0, tile, 0.0), axis=1)
+    lab_logit = jnp.sum(onehot * tile, axis=1)
+
+    is_bg = (safe == 0).astype(jnp.float32)
+    msf = jnp.where(ms > threshold, 1.0, ms)
+    pixel_w = is_bg * msf
+    fm = (1.0 - pixel_w) ** gamma
+
+    # term 1: bg/fg focal
+    l1 = jnp.where(safe == 0, fm * (den - x0), den - lse_fg)
+    e0 = (ch == 0).astype(jnp.float32)
+    g1 = jnp.where(
+        (safe == 0)[:, None, :],
+        fm[:, None, :] * (p - e0),
+        p - s_fg,
+    )
+    # term 2: new-vs-rest unbiased
+    if ukd:
+        l2_old = den - lse_old
+        g2_old = p - s_old
+    else:
+        l2_old = den
+        g2_old = p
+    l2 = jnp.where(safe < old_classes, l2_old, den - lab_logit)
+    g2 = jnp.where((safe < old_classes)[:, None, :], g2_old, p - onehot)
+
+    vm = valid.astype(jnp.float32)
+    return (l1 + l2) * vm, (g1 + g2) * vm[:, None, :]
+
+
+def _bacs_fwd_kernel(starts_ref, z_ref, labels_ref, ms_ref, kh_ref, out_ref,
+                     *, hb, old_classes, gamma, threshold, ukd):
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    start = starts_ref[j]
+    zs = z_ref[0, pl.ds(start, hb)]
+    ky = kh_ref[0]
+    tile = jnp.einsum("Rh,hcW->RcW", ky, zs, preferred_element_type=jnp.float32)
+    loss_map, _ = _bacs_terms(
+        tile, labels_ref[0], ms_ref[0], old_classes, gamma, threshold, ukd
+    )
+    loss_sum = jnp.sum(loss_map)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    out_ref[0] += jnp.where((row == 0) & (col == 0), loss_sum, 0.0)
+
+
+def _bacs_bwd_kernel(starts_ref, z_ref, labels_ref, ms_ref, kh_ref, g_ref,
+                     dz_ref, *, hb, old_classes, gamma, threshold, ukd):
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        dz_ref[...] = jnp.zeros_like(dz_ref)
+
+    start = starts_ref[j]
+    zs = z_ref[0, pl.ds(start, hb)]
+    ky = kh_ref[0]
+    tile = jnp.einsum("Rh,hcW->RcW", ky, zs, preferred_element_type=jnp.float32)
+    _, grad = _bacs_terms(
+        tile, labels_ref[0], ms_ref[0], old_classes, gamma, threshold, ukd
+    )
+    g = g_ref[0, 0]
+    upd = jnp.einsum(
+        "Rh,RcW->hcW", ky, grad * g, preferred_element_type=jnp.float32
+    )
+    dz_ref[0, pl.ds(start, hb)] += upd
+
+
+def _bacs_pallas(sem, labels, max_seen, kh, kw, old_classes, gamma,
+                 threshold, ukd, want_grad, g=None):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w, _ = sem.shape
+    H, W = kh.shape[0], kw.shape[0]
+    z = _w_interp(sem, kw)
+    c_pad = z.shape[2]
+    starts, kh_blocks = _block_kh(H, h, ROW_BLOCK)
+    hb = kh_blocks.shape[2]
+    statics = dict(hb=hb, old_classes=old_classes, gamma=gamma,
+                   threshold=threshold, ukd=ukd)
+    common_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, h, c_pad, W), lambda i, j: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ROW_BLOCK, W), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ROW_BLOCK, W), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ROW_BLOCK, hb), lambda i, j: (j, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = (starts, z, labels.astype(jnp.int32),
+            max_seen.astype(jnp.float32), kh_blocks)
+    if not want_grad:
+        out = pl.pallas_call(
+            partial(_bacs_fwd_kernel, **statics),
+            out_shape=jax.ShapeDtypeStruct((n, 8, 128), jnp.float32),
+            grid=(n, H // ROW_BLOCK),
+            in_specs=common_specs,
+            out_specs=pl.BlockSpec((1, 8, 128), lambda i, j: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )(*args)
+        return jnp.sum(out[:, 0, 0])
+    dz = pl.pallas_call(
+        partial(_bacs_bwd_kernel, **statics),
+        out_shape=jax.ShapeDtypeStruct((n, h, c_pad, W), jnp.float32),
+        grid=(n, H // ROW_BLOCK),
+        in_specs=common_specs + [
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+        ],
+        out_specs=pl.BlockSpec((1, h, c_pad, W), lambda i, j: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(*args, g.reshape(1, 1))
+    dsem = jnp.einsum("Ww,nhcW->nhwc", kw, dz[:, :, : sem.shape[-1], :])
+    return dsem.astype(sem.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def upsampled_bacs_weighted_ce(
+    sem_logits: Array,
+    labels: Array,
+    max_seen: Array,
+    out_hw: Tuple[int, int],
+    old_classes: int,
+    gamma: float = 2.0,
+    threshold: float = 0.5,
+    ukd: bool = True,
+    ignore_index: int = 255,
+) -> Array:
+    """BACS weighted CE of the bilinear-upsampled logits — the full-res
+    logits never materialize.  `max_seen` [N, H, W]: per-pixel max
+    seen-probability (already stop-gradded, full resolution).  Mean over
+    ALL pixels (the reference quirk)."""
+    kh, kw = _kmats(sem_logits, out_hw)
+    if _use_pallas(sem_logits, out_hw) and ignore_index == 255:
+        s = _bacs_pallas(sem_logits, labels, max_seen, kh, kw, old_classes,
+                         gamma, threshold, ukd, want_grad=False)
+        n_tot = labels.shape[0] * labels.shape[1] * labels.shape[2]
+        return s / n_tot
+    return _bacs_wce_jnp(sem_logits, labels, max_seen, kh, kw, old_classes,
+                         gamma, threshold, ukd, ignore_index)
+
+
+def _ubw_fwd(sem, labels, max_seen, out_hw, old_classes, gamma, threshold,
+             ukd, ignore_index):
+    loss = upsampled_bacs_weighted_ce(
+        sem, labels, max_seen, out_hw, old_classes, gamma, threshold, ukd,
+        ignore_index,
+    )
+    return loss, (sem, labels, max_seen)
+
+
+def _ubw_bwd(out_hw, old_classes, gamma, threshold, ukd, ignore_index, res, g):
+    sem, labels, max_seen = res
+    kh, kw = _kmats(sem, out_hw)
+    n_tot = labels.shape[0] * labels.shape[1] * labels.shape[2]
+    if _use_pallas(sem, out_hw) and ignore_index == 255:
+        dsem = _bacs_pallas(
+            sem, labels, max_seen, kh, kw, old_classes, gamma, threshold,
+            ukd, want_grad=True, g=(g / n_tot).astype(jnp.float32),
+        )
+        return dsem, None, None
+    dsem = jax.grad(
+        lambda s: _bacs_wce_jnp(s, labels, max_seen, kh, kw, old_classes,
+                                gamma, threshold, ukd, ignore_index) * g
+    )(sem)
+    return dsem, None, None
+
+
+upsampled_bacs_weighted_ce.defvjp(_ubw_fwd, _ubw_bwd)

@@ -79,3 +79,42 @@ def test_upsampled_confusion_matches_composed(rng):
     assert int(np.asarray(cm).sum()) == 2 * 32 * 32 - 32 - int(
         (np.asarray(labels) == 255).sum() - 32
     )
+
+
+def test_bacs_weighted_terms_match_autodiff(rng):
+    """The hand-derived per-pixel loss/grad in ops/upsample_ce._bacs_terms
+    (the in-kernel math of upsampled_bacs_weighted_ce) must match autodiff
+    through ops/losses.weighted_cross_entropy's formula."""
+    from bacs_tpu.ops.losses import weighted_cross_entropy
+    from bacs_tpu.ops.upsample_ce import NEG, _bacs_terms
+
+    R, C, W, OLD = 4, 7, 8, 5
+    tile = jnp.asarray(rng.randn(R, C, W).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, C, (R, W)).astype(np.int32))
+    labels = labels.at[0, :2].set(255)
+    labels = labels.at[1, :4].set(0)  # exercise the focal-bg branch
+    ms = jnp.asarray(rng.rand(R, W).astype(np.float32))
+
+    # pad channels like the kernel's NEG-padded z
+    c_pad = 8
+    tile_p = jnp.pad(tile, ((0, 0), (0, c_pad - C), (0, 0)),
+                     constant_values=NEG)
+
+    def composed(t):
+        # weighted_cross_entropy wants NHWC + [N,h,w,T] seen probs
+        x = jnp.transpose(t, (0, 2, 1))[None]  # [1, R, W, C]
+        return weighted_cross_entropy(
+            x, labels[None], ms[None, :, :, None], OLD, gamma=2.0,
+            threshold=0.5, ukd=True,
+        ) * (R * W)  # undo the mean -> sum over pixels
+
+    loss_map, grad = _bacs_terms(tile_p, labels, ms, OLD, 2.0, 0.5, True)
+    np.testing.assert_allclose(
+        float(jnp.sum(loss_map)), float(composed(tile)), rtol=1e-5
+    )
+    g_ref = jax.grad(composed)(tile)
+    np.testing.assert_allclose(
+        np.asarray(grad[:, :C, :]), np.asarray(g_ref), rtol=1e-4, atol=1e-6
+    )
+    # pad channels must receive zero gradient
+    np.testing.assert_allclose(np.asarray(grad[:, C:, :]), 0.0, atol=1e-30)
