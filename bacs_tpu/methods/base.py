@@ -286,17 +286,21 @@ class Method:
             protos, counts = update_task_prototypes(
                 protos, counts, out.penultimate, labels, task, ctx.axis_name
             )
+        import os
+
+        sem = out.sem_logits[..., : ctx.n_cur]
+        # fused upsample+CE kernels (ops/upsample_ce.py): all three loss
+        # variants below share this gate — the full-res logits never
+        # materialize when the head output is below label resolution
+        use_fused_ce = (
+            sem.shape[1] < labels.shape[1]
+            and os.environ.get("BACS_FUSED_UPSAMPLE_CE", "1") != "0"
+        )
         if use_weighted_ce and train:
             seen_prob = jax.lax.stop_gradient(
                 ctx.seen_probs(params, bs, out.penultimate, protos)
             )
-            sem_w = out.sem_logits[..., : ctx.n_cur]
-            import os as _os
-
-            if (
-                sem_w.shape[1] < labels.shape[1]
-                and _os.environ.get("BACS_FUSED_UPSAMPLE_CE", "1") != "0"
-            ):
+            if use_fused_ce:
                 # fused upsample + BACS weighted CE (ops/upsample_ce.py):
                 # the full-res logits never materialize on this path either
                 from bacs_tpu.ops.upsample_ce import (
@@ -304,7 +308,7 @@ class Method:
                 )
 
                 loss = upsampled_bacs_weighted_ce(
-                    sem_w,
+                    sem,
                     labels,
                     jnp.max(seen_prob, axis=-1),
                     labels.shape[1:3],
@@ -326,13 +330,6 @@ class Method:
                     ignore_index=self.ignore_index,
                 )
         else:
-            sem = out.sem_logits[..., : ctx.n_cur]
-            import os
-
-            use_fused_ce = (
-                sem.shape[1] < labels.shape[1]
-                and os.environ.get("BACS_FUSED_UPSAMPLE_CE", "1") != "0"
-            )
             if use_fused_ce and class_weights is None:
                 # fused upsample+CE Pallas kernel (ops/upsample_ce.py) — the
                 # full-res logits never materialize.  In the full train step

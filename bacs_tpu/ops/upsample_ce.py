@@ -186,7 +186,11 @@ def _w_interp(sem: Array, kw: Array) -> Array:
     return _pad_c_neg(z)
 
 
-def _ce_sums_pallas(sem, labels, kh, kw, c_real):
+def _prep_call(sem, labels, kh, kw):
+    """Shared pallas_call scaffolding for every upsample+CE variant:
+    (lead_args, lead_specs, dims) — lead operands are always
+    (starts, z, labels, kh_blocks) with identical BlockSpecs; variants
+    append their extra operands after these."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -196,52 +200,98 @@ def _ce_sums_pallas(sem, labels, kh, kw, c_real):
     c_pad = z.shape[2]
     starts, kh_blocks = _block_kh(H, h, ROW_BLOCK)
     hb = kh_blocks.shape[2]
+    lead_args = (starts, z, labels.astype(jnp.int32), kh_blocks)
+    lead_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, h, c_pad, W), lambda i, j: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ROW_BLOCK, W), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ROW_BLOCK, hb), lambda i, j: (j, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dims = dict(n=n, h=h, H=H, W=W, c_pad=c_pad, hb=hb,
+                grid=(n, H // ROW_BLOCK))
+    return lead_args, lead_specs, dims
+
+
+def _sum_out_spec(dims):
+    """Per-image scalar accumulator tile (loss_sum/count at [n,0,0..1])."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return (
+        jax.ShapeDtypeStruct((dims["n"], 8, 128), jnp.float32),
+        pl.BlockSpec((1, 8, 128), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+
+
+def _dz_out_spec(dims):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return (
+        jax.ShapeDtypeStruct(
+            (dims["n"], dims["h"], dims["c_pad"], dims["W"]), jnp.float32
+        ),
+        pl.BlockSpec(
+            (1, dims["h"], dims["c_pad"], dims["W"]),
+            lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM,
+        ),
+    )
+
+
+def _g_spec():
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+
+
+def _wvec_spec(dims):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.BlockSpec((1, dims["c_pad"], 1), lambda i, j: (0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _ms_spec(dims):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.BlockSpec((1, ROW_BLOCK, dims["W"]), lambda i, j: (i, j, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _ce_sums_pallas(sem, labels, kh, kw, c_real):
+    import jax.experimental.pallas as pl
+
+    lead, specs, dims = _prep_call(sem, labels, kh, kw)
+    out_shape, out_spec = _sum_out_spec(dims)
     out = pl.pallas_call(
-        partial(_fwd_kernel, hb=hb),
-        out_shape=jax.ShapeDtypeStruct((n, 8, 128), jnp.float32),
-        grid=(n, H // ROW_BLOCK),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, h, c_pad, W), lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ROW_BLOCK, W), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ROW_BLOCK, hb), lambda i, j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 8, 128), lambda i, j: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )(starts, z, labels.astype(jnp.int32), kh_blocks)
+        partial(_fwd_kernel, hb=dims["hb"]),
+        out_shape=out_shape,
+        grid=dims["grid"],
+        in_specs=specs,
+        out_specs=out_spec,
+    )(*lead)
     return jnp.sum(out[:, 0, 0]), jnp.sum(out[:, 0, 1])
 
 
 def _dsem_pallas(sem, labels, kh, kw, c_real, g):
     import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    n, h, w, _ = sem.shape
-    H, W = kh.shape[0], kw.shape[0]
-    z = _w_interp(sem, kw)
-    c_pad = z.shape[2]
-    starts, kh_blocks = _block_kh(H, h, ROW_BLOCK)
-    hb = kh_blocks.shape[2]
+    lead, specs, dims = _prep_call(sem, labels, kh, kw)
+    out_shape, out_spec = _dz_out_spec(dims)
     dz = pl.pallas_call(
-        partial(_bwd_kernel, hb=hb),
-        out_shape=jax.ShapeDtypeStruct((n, h, c_pad, W), jnp.float32),
-        grid=(n, H // ROW_BLOCK),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, h, c_pad, W), lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ROW_BLOCK, W), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ROW_BLOCK, hb), lambda i, j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, h, c_pad, W), lambda i, j: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )(starts, z, labels.astype(jnp.int32), kh_blocks, g.reshape(1, 1))
+        partial(_bwd_kernel, hb=dims["hb"]),
+        out_shape=out_shape,
+        grid=dims["grid"],
+        in_specs=specs + [_g_spec()],
+        out_specs=out_spec,
+    )(*lead, g.reshape(1, 1))
     # transpose W-interp outside (one einsum on the small side)
     dsem = jnp.einsum("Ww,nhcW->nhwc", kw, dz[:, :, : sem.shape[-1], :])
     return dsem.astype(sem.dtype)
@@ -414,65 +464,31 @@ def _pad_w(weights: Array, c_pad: int) -> Array:
 
 def _wce_sums_pallas(sem, labels, weights, kh, kw):
     import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    n, h, w, _ = sem.shape
-    H, W = kh.shape[0], kw.shape[0]
-    z = _w_interp(sem, kw)
-    c_pad = z.shape[2]
-    starts, kh_blocks = _block_kh(H, h, ROW_BLOCK)
-    hb = kh_blocks.shape[2]
+    lead, specs, dims = _prep_call(sem, labels, kh, kw)
+    out_shape, out_spec = _sum_out_spec(dims)
     out = pl.pallas_call(
-        partial(_fwd_kernel_w, hb=hb),
-        out_shape=jax.ShapeDtypeStruct((n, 8, 128), jnp.float32),
-        grid=(n, H // ROW_BLOCK),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, h, c_pad, W), lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ROW_BLOCK, W), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ROW_BLOCK, hb), lambda i, j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c_pad, 1), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 8, 128), lambda i, j: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )(starts, z, labels.astype(jnp.int32), kh_blocks, _pad_w(weights, c_pad))
+        partial(_fwd_kernel_w, hb=dims["hb"]),
+        out_shape=out_shape,
+        grid=dims["grid"],
+        in_specs=specs + [_wvec_spec(dims)],
+        out_specs=out_spec,
+    )(*lead, _pad_w(weights, dims["c_pad"]))
     return jnp.sum(out[:, 0, 0]), jnp.sum(out[:, 0, 1])
 
 
 def _dsem_pallas_w(sem, labels, weights, kh, kw, g):
     import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    n, h, w, _ = sem.shape
-    H, W = kh.shape[0], kw.shape[0]
-    z = _w_interp(sem, kw)
-    c_pad = z.shape[2]
-    starts, kh_blocks = _block_kh(H, h, ROW_BLOCK)
-    hb = kh_blocks.shape[2]
+    lead, specs, dims = _prep_call(sem, labels, kh, kw)
+    out_shape, out_spec = _dz_out_spec(dims)
     dz = pl.pallas_call(
-        partial(_bwd_kernel_w, hb=hb),
-        out_shape=jax.ShapeDtypeStruct((n, h, c_pad, W), jnp.float32),
-        grid=(n, H // ROW_BLOCK),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, h, c_pad, W), lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ROW_BLOCK, W), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ROW_BLOCK, hb), lambda i, j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c_pad, 1), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, h, c_pad, W), lambda i, j: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )(starts, z, labels.astype(jnp.int32), kh_blocks, _pad_w(weights, c_pad),
-      g.reshape(1, 1))
+        partial(_bwd_kernel_w, hb=dims["hb"]),
+        out_shape=out_shape,
+        grid=dims["grid"],
+        in_specs=specs + [_wvec_spec(dims), _g_spec()],
+        out_specs=out_spec,
+    )(*lead, _pad_w(weights, dims["c_pad"]), g.reshape(1, 1))
     dsem = jnp.einsum("Ww,nhcW->nhwc", kw, dz[:, :, : sem.shape[-1], :])
     return dsem.astype(sem.dtype)
 
@@ -486,7 +502,11 @@ def upsampled_weighted_cross_entropy(
     ignore_index: int = 255,
 ) -> Array:
     """torch-semantics weighted mean CE of the bilinear-upsampled logits:
-    sum(w[y]·nll) / sum(w[y]) over valid pixels."""
+    sum(w[y]·nll) / sum(w[y]) over valid pixels.
+
+    `class_weights` is treated as a CONSTANT (like torch's `weight=`): its
+    VJP cotangent is hard zero.  Do not use this op to learn the weights.
+    """
     loss_sum, wsum = _wce_sums(sem_logits, labels, class_weights, out_hw,
                                ignore_index)
     return loss_sum / jnp.maximum(wsum, 1e-8)
@@ -593,13 +613,15 @@ def _bacs_terms(tile, labels, ms, old_classes, gamma, threshold, ukd):
         fm[:, None, :] * (p - e0),
         p - s_fg,
     )
-    # term 2: new-vs-rest unbiased
+    # term 2: new-vs-rest unbiased.  With ukd=False the reference zeroes
+    # the collapsed-old channel (loss_utils.py:570-574 outputs[:,0] = 0),
+    # so old-class pixels contribute NO loss and NO gradient from term 2.
     if ukd:
         l2_old = den - lse_old
         g2_old = p - s_old
     else:
-        l2_old = den
-        g2_old = p
+        l2_old = jnp.zeros_like(den)
+        g2_old = jnp.zeros_like(p)
     l2 = jnp.where(safe < old_classes, l2_old, den - lab_logit)
     g2 = jnp.where((safe < old_classes)[:, None, :], g2_old, p - onehot)
 
@@ -607,7 +629,7 @@ def _bacs_terms(tile, labels, ms, old_classes, gamma, threshold, ukd):
     return (l1 + l2) * vm, (g1 + g2) * vm[:, None, :]
 
 
-def _bacs_fwd_kernel(starts_ref, z_ref, labels_ref, ms_ref, kh_ref, out_ref,
+def _bacs_fwd_kernel(starts_ref, z_ref, labels_ref, kh_ref, ms_ref, out_ref,
                      *, hb, old_classes, gamma, threshold, ukd):
     import jax.experimental.pallas as pl
 
@@ -630,7 +652,7 @@ def _bacs_fwd_kernel(starts_ref, z_ref, labels_ref, ms_ref, kh_ref, out_ref,
     out_ref[0] += jnp.where((row == 0) & (col == 0), loss_sum, 0.0)
 
 
-def _bacs_bwd_kernel(starts_ref, z_ref, labels_ref, ms_ref, kh_ref, g_ref,
+def _bacs_bwd_kernel(starts_ref, z_ref, labels_ref, kh_ref, ms_ref, g_ref,
                      dz_ref, *, hb, old_classes, gamma, threshold, ukd):
     import jax.experimental.pallas as pl
 
@@ -657,48 +679,29 @@ def _bacs_bwd_kernel(starts_ref, z_ref, labels_ref, ms_ref, kh_ref, g_ref,
 def _bacs_pallas(sem, labels, max_seen, kh, kw, old_classes, gamma,
                  threshold, ukd, want_grad, g=None):
     import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    n, h, w, _ = sem.shape
-    H, W = kh.shape[0], kw.shape[0]
-    z = _w_interp(sem, kw)
-    c_pad = z.shape[2]
-    starts, kh_blocks = _block_kh(H, h, ROW_BLOCK)
-    hb = kh_blocks.shape[2]
-    statics = dict(hb=hb, old_classes=old_classes, gamma=gamma,
+    lead, specs, dims = _prep_call(sem, labels, kh, kw)
+    statics = dict(hb=dims["hb"], old_classes=old_classes, gamma=gamma,
                    threshold=threshold, ukd=ukd)
-    common_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, h, c_pad, W), lambda i, j: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ROW_BLOCK, W), lambda i, j: (i, j, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ROW_BLOCK, W), lambda i, j: (i, j, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ROW_BLOCK, hb), lambda i, j: (j, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    args = (starts, z, labels.astype(jnp.int32),
-            max_seen.astype(jnp.float32), kh_blocks)
+    args = (*lead, max_seen.astype(jnp.float32))
+    specs = specs + [_ms_spec(dims)]
     if not want_grad:
+        out_shape, out_spec = _sum_out_spec(dims)
         out = pl.pallas_call(
             partial(_bacs_fwd_kernel, **statics),
-            out_shape=jax.ShapeDtypeStruct((n, 8, 128), jnp.float32),
-            grid=(n, H // ROW_BLOCK),
-            in_specs=common_specs,
-            out_specs=pl.BlockSpec((1, 8, 128), lambda i, j: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
+            out_shape=out_shape,
+            grid=dims["grid"],
+            in_specs=specs,
+            out_specs=out_spec,
         )(*args)
         return jnp.sum(out[:, 0, 0])
+    out_shape, out_spec = _dz_out_spec(dims)
     dz = pl.pallas_call(
         partial(_bacs_bwd_kernel, **statics),
-        out_shape=jax.ShapeDtypeStruct((n, h, c_pad, W), jnp.float32),
-        grid=(n, H // ROW_BLOCK),
-        in_specs=common_specs + [
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
-        ],
-        out_specs=pl.BlockSpec((1, h, c_pad, W), lambda i, j: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_shape=out_shape,
+        grid=dims["grid"],
+        in_specs=specs + [_g_spec()],
+        out_specs=out_spec,
     )(*args, g.reshape(1, 1))
     dsem = jnp.einsum("Ww,nhcW->nhwc", kw, dz[:, :, : sem.shape[-1], :])
     return dsem.astype(sem.dtype)

@@ -57,6 +57,9 @@ class Predictor:
         )
         self.variables = {"params": params, "batch_stats": batch_stats}
         n_active = self.active_classes
+        # uint8 mask payload: class ids must fit, and 255 stays reserved
+        # for the ignore convention
+        assert n_active <= 255, "uint8 mask payload needs <= 255 classes" 
 
         def _infer(variables, images_u8):
             x = normalize_image(images_u8)

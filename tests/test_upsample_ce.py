@@ -100,21 +100,23 @@ def test_bacs_weighted_terms_match_autodiff(rng):
     tile_p = jnp.pad(tile, ((0, 0), (0, c_pad - C), (0, 0)),
                      constant_values=NEG)
 
-    def composed(t):
-        # weighted_cross_entropy wants NHWC + [N,h,w,T] seen probs
-        x = jnp.transpose(t, (0, 2, 1))[None]  # [1, R, W, C]
-        return weighted_cross_entropy(
-            x, labels[None], ms[None, :, :, None], OLD, gamma=2.0,
-            threshold=0.5, ukd=True,
-        ) * (R * W)  # undo the mean -> sum over pixels
+    for ukd in (True, False):
+        def composed_u(t, ukd=ukd):
+            x = jnp.transpose(t, (0, 2, 1))[None]
+            return weighted_cross_entropy(
+                x, labels[None], ms[None, :, :, None], OLD, gamma=2.0,
+                threshold=0.5, ukd=ukd,
+            ) * (R * W)
 
-    loss_map, grad = _bacs_terms(tile_p, labels, ms, OLD, 2.0, 0.5, True)
-    np.testing.assert_allclose(
-        float(jnp.sum(loss_map)), float(composed(tile)), rtol=1e-5
-    )
-    g_ref = jax.grad(composed)(tile)
-    np.testing.assert_allclose(
-        np.asarray(grad[:, :C, :]), np.asarray(g_ref), rtol=1e-4, atol=1e-6
-    )
-    # pad channels must receive zero gradient
-    np.testing.assert_allclose(np.asarray(grad[:, C:, :]), 0.0, atol=1e-30)
+        loss_map, grad = _bacs_terms(tile_p, labels, ms, OLD, 2.0, 0.5, ukd)
+        np.testing.assert_allclose(
+            float(jnp.sum(loss_map)), float(composed_u(tile)), rtol=1e-5
+        )
+        g_ref = jax.grad(composed_u)(tile)
+        np.testing.assert_allclose(
+            np.asarray(grad[:, :C, :]), np.asarray(g_ref), rtol=1e-4,
+            atol=1e-6,
+        )
+        # pad channels must receive zero gradient
+        np.testing.assert_allclose(np.asarray(grad[:, C:, :]), 0.0,
+                                   atol=1e-30)
