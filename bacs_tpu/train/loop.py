@@ -367,6 +367,8 @@ class Trainer:
             self.state = new_state
             return m
 
+        last_slot = 0  # alternate last0/last1: a crash mid-save (orbax
+        # force=True pre-deletes the destination) must keep the other slot
         for epoch in range(start_epoch, self._epochs_for(task_id)):
             skip = resume_skip if epoch == start_epoch else 0
             saved_chunks = skip // ckpt_every if ckpt_every else 0
@@ -427,9 +429,13 @@ class Trainer:
                     saved_chunks = (i + 1) // ckpt_every
                     from bacs_tpu.utils.checkpoint import save_task_checkpoint
 
+                    # async: the step loop pays only the device->host
+                    # snapshot; the disk write overlaps training
                     save_task_checkpoint(
-                        self.ckpt_dir, task_id, self.state, step="last"
+                        self.ckpt_dir, task_id, self.state,
+                        step=f"last{last_slot}", block=False,
                     )
+                    last_slot = 1 - last_slot
                 if step_count >= max_iters:
                     break
             if multi_step is not None and pending:
@@ -447,8 +453,10 @@ class Trainer:
                 from bacs_tpu.utils.checkpoint import save_task_checkpoint
 
                 save_task_checkpoint(
-                    self.ckpt_dir, task_id, self.state, step="last"
+                    self.ckpt_dir, task_id, self.state,
+                    step=f"last{last_slot}", block=False,
                 )
+                last_slot = 1 - last_slot
             if step_count >= max_iters:
                 break
 

@@ -21,14 +21,48 @@ def _ckpt_root(ckpt_dir: str) -> str:
     return os.path.abspath(os.path.expanduser(ckpt_dir))
 
 
-def save_task_checkpoint(ckpt_dir: str, task_id: int, state: Any, step: str = "final"):
+_ASYNC_CKPTR: Any = None
+
+
+def _async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_pending_saves() -> None:
+    """Block until any in-flight async save has committed to disk.  Must
+    run before a blocking save to the same tree or before ending a task."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
+def save_task_checkpoint(
+    ckpt_dir: str, task_id: int, state: Any, step: str = "final",
+    block: bool = True,
+):
     """Save under `<ckpt_dir>/step_<task_id>/<step>` (reference per-task
-    step_N layout, trainer.py:149-170)."""
+    step_N layout, trainer.py:149-170).
+
+    `block=False` uses orbax's AsyncCheckpointer for mid-epoch `last`
+    saves: the step loop only pays the device→host snapshot, the disk
+    write overlaps training (the reference's in-loop PL saves block).
+    """
     import orbax.checkpoint as ocp
 
     path = os.path.join(_ckpt_root(ckpt_dir), f"step_{task_id}", str(step))
-    with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, jax.tree.map(lambda x: x, state), force=True)
+    tree = jax.tree.map(lambda x: x, state)
+    if block:
+        wait_for_pending_saves()  # never race an async save on the same dir
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path, tree, force=True)
+    else:
+        ck = _async_checkpointer()
+        ck.wait_until_finished()  # serialize: bounds blocking to leftovers
+        ck.save(path, tree, force=True)
     return path
 
 
@@ -57,7 +91,13 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[tuple[int, str]]:
         # non-final ckpts only when scanning *unfinished* tasks)
         if "final" in steps:
             return t, os.path.join(step_dir, "final")
-        return t, os.path.join(step_dir, sorted(steps, reverse=True)[0])
+        # mid-task saves alternate between two slots (orbax force=True
+        # deletes the destination BEFORE the new save commits, so a crash
+        # mid-save must still find the other slot) — newest commit wins
+        newest = max(
+            steps, key=lambda d: os.path.getmtime(os.path.join(step_dir, d))
+        )
+        return t, os.path.join(step_dir, newest)
     return None
 
 
