@@ -77,8 +77,11 @@ class BACSMethod(ExperienceReplayMethod):
         mixup: bool = False,
         mixup_alpha: float = 1.0,
         mixup_threshold: int = 10,
+        transplant_mode: str = "reference",
         **kwargs,
     ):
+        if transplant_mode not in ("reference", "per_sample"):
+            raise ValueError(f"unknown transplant_mode {transplant_mode!r}")
         super().__init__(
             name=name,
             alpha=alpha,
@@ -104,6 +107,7 @@ class BACSMethod(ExperienceReplayMethod):
         self.mixup = mixup
         self.mixup_alpha = mixup_alpha
         self.mixup_threshold = mixup_threshold
+        self.transplant_mode = transplant_mode
 
     # ------------------------------------------------------------------
 
@@ -205,9 +209,38 @@ class BACSMethod(ExperienceReplayMethod):
         sem = out.sem_logits[..., : ctx.n_cur]
         mem_logits = mem["logits"][..., : ctx.n_cur]
         transplant = jax.lax.stop_gradient(sem)
-        # per-sample: channels >= stored class count come from current model
-        ch = jnp.arange(ctx.n_cur)[None, None, None, :]
-        grow_mask = ch >= mem["n_classes"][:, None, None, None]
+        if self.transplant_mode == "per_sample":
+            # intended semantics (the reference code's own comment:
+            # "Transplant logits in a good way"): every sample's channels
+            # >= its stored class count come from the current model
+            ch = jnp.arange(ctx.n_cur)[None, None, None, :]
+            grow_mask = ch >= mem["n_classes"][:, None, None, None]
+        else:
+            # "reference" (default): mirror the reference's indexing quirk
+            # (bacs_loss.py:418-427) — the loop reads
+            # `indices = returned_indices[indx]`, the unique-INVERSE value at
+            # position indx, so per unique class-count at most one batch item
+            # gets the grown channels transplanted; the rest keep their
+            # stored (zero-padded) values.  The published BACS numbers were
+            # produced with this behavior, so it is the parity default.
+            n_cls = mem["n_classes"]
+            bsz = n_cls.shape[0]
+            fill = jnp.iinfo(jnp.int32).max
+            u, inv = jnp.unique(
+                n_cls, size=bsz, fill_value=fill, return_inverse=True
+            )
+            n_u = jnp.sum(u != fill)
+            idxs = jnp.arange(bsz)
+            ok = (idxs < n_u) & (u < ctx.n_cur)  # loop guard + n<C check
+            item_of = inv[idxs]  # the reference's returned_indices[indx]
+            cmask = (
+                jnp.arange(ctx.n_cur)[None, :] >= u[:, None]
+            ) & ok[:, None]  # [indx, C]
+            sel = item_of[:, None] == idxs[None, :]  # [indx, item]
+            grow_mask = (
+                jnp.einsum("ib,ic->bc", sel.astype(jnp.float32),
+                           cmask.astype(jnp.float32)) > 0
+            )[:, None, None, :]
         mem_logits = jnp.where(grow_mask, transplant, mem_logits)
         if self.ignore_rep_bg:
             mem_logits = mem_logits.at[..., 0].set(transplant[..., 0])
@@ -283,7 +316,9 @@ class BACSMethod(ExperienceReplayMethod):
 
         buf = state.buffer
         valid = buf.valid[:, None]
-        fg_mask = buf.label_mask.at[:, 0].set(False)
+        # exclude bg AND the trailing ignore-label column (the reference's
+        # co-occurrence blend filters both 0 and 255, buffer.py:276-278)
+        fg_mask = buf.label_mask.at[:, 0].set(False).at[:, -1].set(False)
         co = jnp.einsum(
             "ic,jd->cd",
             (fg_mask & valid).astype(jnp.float32),
@@ -332,14 +367,32 @@ class BACSMethod(ExperienceReplayMethod):
 
     def end_task(self, state: TrainState, ctx: ModelContext, data: Any):
         """Populate the single reservoir with this task's data
-        (reference: bacs_loss.py:133-203 `on_train_end`)."""
+        (reference: bacs_loss.py:133-203 `on_train_end`).
+
+        Order mirrors the reference exactly: prototype sweep first
+        (BaseLoss.on_train_end → _prototypes.on_train_end, base_loss.py:
+        135,162-165), then the prev-model snapshot (bacs_loss.py:144-146 —
+        BEFORE population), then the buffer fill.  Population runs the model
+        in TRAIN mode — at PL teardown the module is back in train mode, so
+        the reference's stored logits/losses use batch statistics and the
+        live model's running stats DRIFT during population while the
+        already-cloned prev model keeps the pre-drift stats."""
         task = ctx.task
+        if self.track_prototypes:
+            state = self._sweep_prototypes(state, ctx, data)
+        state = state.replace(
+            prev_params=jax.tree.map(jnp.copy, state.params),
+            prev_batch_stats=jax.tree.map(jnp.copy, state.batch_stats),
+        )
         if state.buffer is None or not (self.alpha > 0 or self.beta > 0):
-            return self._finish_end_task(state, ctx, data)
+            return state
 
         @jax.jit
         def populate(state, rng, image, labels):
-            out, _ = ctx.forward(state.params, state.batch_stats, image, False)
+            r1, r2, r_buf = jax.random.split(rng, 3)
+            out, new_bs = ctx.forward(
+                state.params, state.batch_stats, image, True, r1
+            )
             logits = out.logits[..., : ctx.n_cur]
             w = jnp.ones((ctx.n_cur,), jnp.float32).at[0].set(0.0)
             nll = cross_entropy(
@@ -350,24 +403,29 @@ class BACSMethod(ExperienceReplayMethod):
             sem = out.sem_logits[..., : ctx.n_cur]
             pad = task.num_classes - ctx.n_cur
             sem = jnp.pad(sem, ((0, 0), (0, 0), (0, 0), (0, pad)))
+            if self.use_bg_detector:
+                # the reference's seen-detector probe is a SECOND train-mode
+                # pass through the backbone per batch (_get_seen_detector →
+                # get_penultimate_output, bacs_loss.py:191,
+                # deeplab_v3.py:110-119): its backbone norms update twice per
+                # population batch.  Our single full forward already updated
+                # backbone+head+detector once; take the backbone subtree from
+                # a second forward to mirror the double update.  (The stored
+                # seen maps themselves are dead weight in the reference — the
+                # replay loaders never read them — so we don't store them.)
+                _, bs2 = ctx.forward(state.params, new_bs, image, True, r2)
+                if "backbone" in bs2:
+                    new_bs = dict(new_bs)
+                    new_bs["backbone"] = bs2["backbone"]
             buf = buffer_lib.add_batch(
-                state.buffer, rng, image, sem, labels, losses,
+                state.buffer, r_buf, image, sem, labels, losses,
                 task_id=task.task_id, n_classes=ctx.n_cur,
                 ignore_index=self.ignore_index,
             )
-            return state.replace(buffer=buf)
+            return state.replace(buffer=buf, batch_stats=new_bs)
 
         rng = jax.random.PRNGKey(4321 + task.task_id)
         for batch in data:
             rng, sub = jax.random.split(rng)
             state = populate(state, sub, batch["image"], batch["label"])
-        return self._finish_end_task(state, ctx, data)
-
-    def _finish_end_task(self, state, ctx, data):
-        if self.track_prototypes:
-            state = self._sweep_prototypes(state, ctx, data)
-        state = state.replace(
-            prev_params=jax.tree.map(jnp.copy, state.params),
-            prev_batch_stats=jax.tree.map(jnp.copy, state.batch_stats),
-        )
         return state

@@ -38,6 +38,7 @@ class ExperienceReplayMethod(Method):
         replay_minibatch_size: int = 32,
         bg_weighted_ce: bool = False,
         same_task: bool = True,
+        buffer_dtype: str = "bfloat16",
         **kwargs,
     ):
         super().__init__(name=name, **kwargs)
@@ -46,6 +47,12 @@ class ExperienceReplayMethod(Method):
         self.replay_minibatch_size = replay_minibatch_size
         self.bg_weighted_ce = bg_weighted_ce
         self.same_task = same_task
+        # HBM storage dtype for buffered images/logits.  bf16 halves the
+        # buffer's HBM footprint (the reference memmaps f32 on DISK,
+        # buffer.py:23-29 — an HBM-resident buffer makes the trade
+        # explicit); "float32" restores bit-exact replay targets
+        # (tests/test_boundary_parity.py pins semantics at f32).
+        self.buffer_dtype = jnp.dtype(buffer_dtype)
 
     # ------------------------------------------------------------------
 
@@ -56,7 +63,8 @@ class ExperienceReplayMethod(Method):
             self.buffer_size * task.n_tasks if self.same_task else self.buffer_size
         )
         return buffer_lib.init_buffer(
-            n_slots, image_hw, logit_hw, task.num_classes
+            n_slots, image_hw, logit_hw, task.num_classes,
+            image_dtype=self.buffer_dtype, logit_dtype=self.buffer_dtype,
         )
 
     def _partition(self, task_id: int) -> Optional[Tuple[int, int]]:

@@ -11,7 +11,15 @@ Semantics preserved from the reference:
   slot drawn from softmax-normalized ``0.3·normalized importance +
   0.7·class-balance`` scores (reference: buffer.py:138-172 functionalReservoir
   + merge_scores); balance score of a slot = min class frequency among its
-  non-bg labels.
+  non-bg labels.  The reference counts the ignore label (255) like any other
+  class in that balance min — ``merge_scores`` only skips label 0
+  (buffer.py:141-146, 246-252) — so ``label_mask``/``class_counts`` carry an
+  extra trailing column for it.
+- random draws are consumed as uniform [0,1) deviates through the exact
+  transformations numpy uses (``floor(u·N)`` for randint, inverse-CDF
+  searchsorted for ``np.random.choice(p=scores)``), so a shared injected
+  stream reproduces the reference's eviction decisions bit-for-bit
+  (tests/test_boundary_parity.py).
 - per-slot stored fields: image, pre-upsample sem logits (padded to the FINAL
   class count up front — replacing `change_data_size` memmap surgery,
   buffer.py:63-93), labels, importance (−loss), task id, per-class label
@@ -21,7 +29,7 @@ Semantics preserved from the reference:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,11 +46,12 @@ class BufferState:
     logits: Array  # [B, h, w, C_total] bf16
     labels: Array  # [B, H, W] int32
     importance: Array  # [B] f32 (−loss; −inf = unset)
-    label_mask: Array  # [B, C_total] bool — classes present per slot
+    label_mask: Array  # [B, C_total+1] bool — classes present per slot
+    # (column C_total tracks the ignore label, mirroring the reference)
     task_ids: Array  # [B] int32
     n_classes: Array  # [B] int32 — class count when the logits were stored
     valid: Array  # [B] bool
-    class_counts: Array  # [C_total] i32 — occurrences of each class in buffer
+    class_counts: Array  # [C_total+1] i32 — occurrences of each class in buffer
     num_seen: Array  # i32 scalar — reservoir N
 
     @property
@@ -65,11 +74,11 @@ def init_buffer(
         logits=jnp.zeros((buffer_size, lh, lw, num_classes), logit_dtype),
         labels=jnp.zeros((buffer_size, h, w), jnp.int32),
         importance=jnp.full((buffer_size,), NEG_INF, jnp.float32),
-        label_mask=jnp.zeros((buffer_size, num_classes), bool),
+        label_mask=jnp.zeros((buffer_size, num_classes + 1), bool),
         task_ids=jnp.zeros((buffer_size,), jnp.int32),
         n_classes=jnp.zeros((buffer_size,), jnp.int32),
         valid=jnp.zeros((buffer_size,), bool),
-        class_counts=jnp.zeros((num_classes,), jnp.int32),
+        class_counts=jnp.zeros((num_classes + 1,), jnp.int32),
         num_seen=jnp.zeros((), jnp.int32),
     )
 
@@ -77,7 +86,8 @@ def init_buffer(
 def _eviction_scores(buf: BufferState) -> Array:
     """Softmax-style eviction distribution (reference: buffer.py:145-163).
 
-    balance score = min class count among a slot's non-bg classes;
+    balance score = min class count among a slot's non-bg classes (the
+    ignore-label column participates, like the reference's labels dict);
     importance normalized by mean(|imp|)·mean(|bal|); blended 0.3/0.7 then
     min-max normalized to a probability vector over slots.
     """
@@ -110,35 +120,54 @@ def add_batch(
     task_id: int | Array,
     n_classes: int | Array,
     ignore_index: int = 255,
+    uniforms: Optional[Tuple[Array, Array]] = None,
 ) -> BufferState:
     """Reservoir-add a batch of samples (scan over items, pure).
 
     `logits` must already be padded to the buffer's full class width.
+    `uniforms`, if given, is a pair of [N_items] uniform-[0,1) arrays
+    (reservoir draw, eviction draw) consumed instead of `rng` — the
+    transformations below (``floor(u·N)``, inverse-CDF over the eviction
+    scores) match numpy's ``randint`` / ``choice(p=…)`` exactly, so a shared
+    stream reproduces the reference Buffer's decisions (buffer.py:164-172).
     """
     m = buf.size
-    num_classes = buf.class_counts.shape[0]
+    n_cols = buf.class_counts.shape[0]  # num_classes + 1 (ignore column)
+    n_items = images.shape[0]
+    if uniforms is None:
+        k1, k2 = jax.random.split(rng)
+        u_res = jax.random.uniform(k1, (n_items,))
+        u_evict = jax.random.uniform(k2, (n_items,))
+    else:
+        u_res, u_evict = uniforms
 
-    def add_one(carry, item):
-        buf, rng = carry
-        img, lgt, lbl, loss = item
-        rng, k1, k2 = jax.random.split(rng, 3)
+    # label bookkeeping uses the BATCH-wide unique-label set for every item
+    # (reference quirk: add_data reads `dict_data["labels"].unique()` — the
+    # whole batch tensor — inside the per-item loop, buffer.py:240-252)
+    ext_all = jnp.where(labels == ignore_index, n_cols - 1, labels)
+    batch_mask = jnp.zeros((n_cols,), bool).at[ext_all.reshape(-1)].set(True)
+
+    def add_one(buf, item):
+        img, lgt, lbl, loss, ur, ue = item
         n = buf.num_seen
-        # reservoir decision (reference: buffer.py:164-172)
-        rn = jax.random.randint(k1, (), 0, jnp.maximum(n, 1))
+        # reservoir decision (reference: buffer.py:164-172): rn ~ randint(0,N)
+        rn = jnp.floor(ur * jnp.maximum(n, 1).astype(jnp.float32)).astype(
+            jnp.int32
+        )
         scores = _eviction_scores(buf)
-        evict_idx = jax.random.choice(k2, m, p=scores)
+        cdf = jnp.cumsum(scores)
+        cdf = cdf / jnp.maximum(cdf[-1], 1e-30)
+        evict_idx = jnp.minimum(
+            jnp.searchsorted(cdf, ue, side="right"), m - 1
+        ).astype(jnp.int32)
         idx = jnp.where(n < m, n, jnp.where(rn < m, evict_idx, -1))
 
         def write(buf):
-            # class bookkeeping: pop old slot labels, push new
-            safe_lbl = jnp.where(lbl == ignore_index, 0, lbl)
-            new_mask = (
-                jnp.zeros((num_classes,), bool)
-                .at[safe_lbl.reshape(-1)]
-                .set(True)
-                .at[0]
-                .set(jnp.any(lbl == 0))
-            )
+            # class bookkeeping: pop old slot labels, push new.  The ignore
+            # label maps to the extra trailing column — the reference tracks
+            # 255 like a class (buffer.py:246-252 counts every non-zero
+            # unique label).
+            new_mask = batch_mask
             old_mask = jnp.where(buf.valid[idx], buf.label_mask[idx], False)
             counts = (
                 buf.class_counts
@@ -162,10 +191,10 @@ def add_batch(
 
         buf = jax.lax.cond(idx >= 0, write, lambda b: b, buf)
         buf = buf.replace(num_seen=buf.num_seen + 1)
-        return (buf, rng), None
+        return buf, None
 
-    (buf, _), _ = jax.lax.scan(
-        add_one, (buf, rng), (images, logits, labels, losses)
+    buf, _ = jax.lax.scan(
+        add_one, buf, (images, logits, labels, losses, u_res, u_evict)
     )
     return buf
 

@@ -257,6 +257,59 @@ def load_reference_loss():
     return loss
 
 
+def load_reference_learner():
+    """Import the reference `learner` package (head-surgery callbacks).
+
+    Only its PL/visualization *plumbing* is stubbed (Callback base class,
+    the Mode enum); the surgery logic itself — MultiHeadLearner
+    ._initialize_head etc. — is the reference's real code."""
+    load_reference_networks()
+    _install_aux_shims()
+    pl = sys.modules["pytorch_lightning"]
+    if "pytorch_lightning.callbacks" not in sys.modules:
+        cb = types.ModuleType("pytorch_lightning.callbacks")
+
+        class Callback:  # inert base: learners are driven directly in tests
+            pass
+
+        cb.Callback = Callback
+        pl.callbacks = cb
+        sys.modules["pytorch_lightning.callbacks"] = cb
+    if "visualization" not in sys.modules:
+        # shadow the reference's visualization package (pulls wandb/cv2)
+        import enum
+
+        viz = types.ModuleType("visualization")
+
+        class Mode(enum.Enum):
+            TRAIN = "train"
+            VAL = "val"
+            TEST = "test"
+
+        viz.Mode = Mode
+        sys.modules["visualization"] = viz
+    import learner  # noqa: the reference package
+
+    return learner
+
+
+def load_reference_buffer():
+    """Import the reference's real replay buffer (training/buffer.py —
+    plain torch+numpy, runnable here) for boundary-parity tests."""
+    _install_inplace_abn_shim()
+    _install_pl_shim()
+    _install_aux_shims()
+    import numpy as np
+
+    if not hasattr(np, "Inf"):  # NumPy 2.x removed the alias the reference uses
+        np.Inf = np.inf
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import training.buffer as refbuf  # noqa: the reference module
+
+    return refbuf
+
+
 def load_reference_loss_utils():
     """Load reference training/loss_utils.py standalone (skips the heavy
     training/__init__.py which imports pytorch_lightning's Trainer)."""

@@ -67,6 +67,9 @@ def test_task_filtered_sampling():
 
 
 def test_class_counts_track_label_presence():
+    # items added in the SAME batch share the batch-wide unique-label set
+    # (reference quirk: buffer.py:240-252 reads the whole batch tensor inside
+    # the per-item loop), so each of the two slots records {1, 2}.
     buf = _mk(size=8)
     labels = jnp.asarray(
         np.stack([np.full((4, 4), 1), np.full((4, 4), 2)]).astype(np.int32)
@@ -76,4 +79,22 @@ def test_class_counts_track_label_presence():
     losses = jnp.zeros((2,))
     buf = B.add_batch(buf, jax.random.PRNGKey(0), imgs, logits, labels, losses, 0, 3)
     counts = np.asarray(buf.class_counts)
-    assert counts[1] == 1 and counts[2] == 1 and counts[0] == 0
+    assert counts[1] == 2 and counts[2] == 2 and counts[0] == 0
+    # separate batches record separate sets
+    buf2 = _mk(size=8)
+    for i in range(2):
+        buf2 = B.add_batch(
+            buf2, jax.random.PRNGKey(i), imgs[i : i + 1], logits[i : i + 1],
+            labels[i : i + 1], losses[i : i + 1], 0, 3,
+        )
+    counts2 = np.asarray(buf2.class_counts)
+    assert counts2[1] == 1 and counts2[2] == 1
+    # the ignore label is tracked in the trailing column (reference counts
+    # 255 like any class — merge_scores only skips 0)
+    lab255 = labels.at[0, 0, 0].set(255)
+    buf3 = _mk(size=8)
+    buf3 = B.add_batch(
+        buf3, jax.random.PRNGKey(0), imgs[:1], logits[:1], lab255[:1],
+        losses[:1], 0, 3,
+    )
+    assert np.asarray(buf3.class_counts)[-1] == 1
