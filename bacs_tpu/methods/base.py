@@ -51,6 +51,13 @@ class ModelContext:
     model: Any  # flax module (frozen dataclass → hashable)
     task: TaskInfo
     axis_name: Optional[str] = None  # data mesh axis inside shard_map
+    # config-keyed gate for the fused upsample+CE Pallas kernels
+    # (training.fused_ce; replaces the round-2 BACS_FUSED_UPSAMPLE_CE env var)
+    fused_ce: bool = True
+    # the (data, space) Mesh when GSPMD spatial partitioning is active: the
+    # fused kernels then run shard_map'ped per space-shard with halo
+    # exchange (ops/upsample_ce.py spatial_* wrappers) instead of turning off
+    spatial_mesh: Any = None  # jax.sharding.Mesh is hashable
 
     # --- forward helpers -------------------------------------------------
     def forward(
@@ -286,21 +293,47 @@ class Method:
             protos, counts = update_task_prototypes(
                 protos, counts, out.penultimate, labels, task, ctx.axis_name
             )
-        import os
-
         sem = out.sem_logits[..., : ctx.n_cur]
         # fused upsample+CE kernels (ops/upsample_ce.py): all three loss
         # variants below share this gate — the full-res logits never
-        # materialize when the head output is below label resolution
-        use_fused_ce = (
-            sem.shape[1] < labels.shape[1]
-            and os.environ.get("BACS_FUSED_UPSAMPLE_CE", "1") != "0"
-        )
+        # materialize when the head output is below label resolution.
+        # Under GSPMD spatial partitioning (ctx.spatial_mesh) the same
+        # kernels run shard_map'ped per space-shard with halo exchange.
+        use_fused_ce = sem.shape[1] < labels.shape[1] and ctx.fused_ce
+        spatial = ctx.spatial_mesh
+        if spatial is not None:
+            from bacs_tpu.ops.upsample_ce import spatial_shapes_ok
+
+            if not spatial_shapes_ok(
+                spatial, labels.shape[0], labels.shape[1], sem.shape[1]
+            ):
+                # shapes don't divide the mesh (e.g. a small replay
+                # minibatch): drop to the XLA-composed global path, which
+                # GSPMD partitions natively — identical math, just unfused
+                use_fused_ce = False
+                spatial = None
         if use_weighted_ce and train:
             seen_prob = jax.lax.stop_gradient(
                 ctx.seen_probs(params, bs, out.penultimate, protos)
             )
-            if use_fused_ce:
+            if use_fused_ce and spatial is not None:
+                from bacs_tpu.ops.upsample_ce import (
+                    spatial_upsampled_bacs_weighted_ce,
+                )
+
+                loss = spatial_upsampled_bacs_weighted_ce(
+                    sem,
+                    labels,
+                    jnp.max(seen_prob, axis=-1),
+                    labels.shape[1:3],
+                    spatial,
+                    task.old_classes,
+                    self.seen_gamma,
+                    self.seen_threshold,
+                    self.seen_ukd,
+                    self.ignore_index,
+                )
+            elif use_fused_ce:
                 # fused upsample + BACS weighted CE (ops/upsample_ce.py):
                 # the full-res logits never materialize on this path either
                 from bacs_tpu.ops.upsample_ce import (
@@ -330,7 +363,15 @@ class Method:
                     ignore_index=self.ignore_index,
                 )
         else:
-            if use_fused_ce and class_weights is None:
+            if use_fused_ce and class_weights is None and spatial is not None:
+                from bacs_tpu.ops.upsample_ce import (
+                    spatial_upsampled_cross_entropy,
+                )
+
+                loss = spatial_upsampled_cross_entropy(
+                    sem, labels, labels.shape[1:3], spatial, self.ignore_index
+                )
+            elif use_fused_ce and class_weights is None:
                 # fused upsample+CE Pallas kernel (ops/upsample_ce.py) — the
                 # full-res logits never materialize.  In the full train step
                 # the XLA-composed resize+CE costs +66 ms (memory-pressure
@@ -339,6 +380,15 @@ class Method:
 
                 loss = upsampled_cross_entropy(
                     sem, labels, labels.shape[1:3], self.ignore_index
+                )
+            elif use_fused_ce and spatial is not None:
+                from bacs_tpu.ops.upsample_ce import (
+                    spatial_upsampled_weighted_cross_entropy,
+                )
+
+                loss = spatial_upsampled_weighted_cross_entropy(
+                    sem, labels, class_weights, labels.shape[1:3], spatial,
+                    self.ignore_index,
                 )
             elif use_fused_ce:
                 # replay CE with per-class weights rides the same kernel

@@ -42,13 +42,20 @@ def create_network(
     # stride 16 like any DeepLab (reference: networks/resnet_atrous.py:31,129;
     # deeplab_v3.py:29 `output_stride = kwargs.get(..., 16)`)
     atrous = bool(kwargs.get("atrous_encoder"))
+    fused_abn = bool(kwargs.get("fused_abn", True))
+    fused_stem = bool(kwargs.get("fused_stem", False))
     if atrous:
         # SDR atrous encoder: SynchronizedBatchNorm2d(momentum 3e-4) on the
         # WHOLE model, BN+ReLU (reference: networks/resnet_atrous.py:8,31;
         # deeplab_v3.py:72-75 `bn` branch with use_sync_batch=True)
-        norm_factory = make_norm("bn", axis_name=axis_name, momentum=3e-4, sync=True)
+        norm_factory = make_norm(
+            "bn", axis_name=axis_name, momentum=3e-4, sync=True,
+            fused=fused_abn, fused_stem=fused_stem,
+        )
     else:
-        norm_factory = make_norm(norm, axis_name=axis_name)
+        norm_factory = make_norm(
+            norm, axis_name=axis_name, fused=fused_abn, fused_stem=fused_stem
+        )
     if short in ("deeplabv3", "deeplab", "deep_lab"):
         return DeepLabV3(
             num_classes=num_classes,

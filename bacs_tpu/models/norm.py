@@ -57,6 +57,10 @@ class ABN(nn.Module):
     # fuse a trailing 3x3/2 maxpool into the same HBM pass (ResNet stem);
     # the full-resolution activated tensor then never exists in memory
     pool: bool = False
+    # config-keyed kernel gates (network.fused_abn / network.fused_stem —
+    # replace the round-2 BACS_FUSED_ABN / BACS_FUSED_STEM env vars)
+    fused: bool = True
+    fused_stem: bool = False
 
     def _unbiased_correction(self, x: Array) -> float:
         """n/(n-1) Bessel factor for the running-var update (torch and
@@ -83,8 +87,6 @@ class ABN(nn.Module):
         # Fast path: fused in-place ABN (custom VJP recovers x̂ from the
         # output — zero extra activation memory; ops/abn_core.py).  Requires
         # an invertible activation, i.e. leaky_relu with slope > 0.
-        import os
-
         # identity activation is leaky_relu with slope 1 — equally invertible,
         # so the residual-branch bn3/proj_bn layers ride the fused path too
         fusable_act = (
@@ -95,7 +97,7 @@ class ABN(nn.Module):
             and not self.renorm
             and fusable_act
             and not self.is_initializing()
-            and os.environ.get("BACS_FUSED_ABN", "1") != "0"
+            and self.fused
         )
         if use_fused:
             from bacs_tpu.ops.abn_core import fused_abn
@@ -112,9 +114,10 @@ class ABN(nn.Module):
                 # XLA-composed stem (4.9 vs 12 ms) but the full 512^2 train
                 # step measures 216 vs 227 img/s with it on — the opaque
                 # pallas calls schedule worse than XLA's interleaved
-                # fusions in this HBM-bound step.  Flip on per-run to
-                # re-evaluate on other shapes/hardware.
-                and os.environ.get("BACS_FUSED_STEM", "0") == "1"
+                # fusions in this HBM-bound step.  Flip on per-run
+                # (network.fused_stem) to re-evaluate on other
+                # shapes/hardware.
+                and self.fused_stem
             ):
                 y, mean, var = fused_abn_pool(
                     x, scale, bias, self.eps, slope, self.axis_name
@@ -187,6 +190,8 @@ def make_norm(
     axis_name: Optional[str] = None,
     momentum: Optional[float] = None,
     sync: bool = False,
+    fused: bool = True,
+    fused_stem: bool = False,
 ) -> "type[nn.Module] | object":
     """Norm-layer factory mirroring the reference's norm selector strings.
 
@@ -222,4 +227,6 @@ def make_norm(
         raise NotImplementedError(f"Selected Norm {norm} is not supported")
     if momentum is not None:
         cfg["momentum"] = momentum
-    return functools.partial(ABN, axis_name=axis, **cfg)
+    return functools.partial(
+        ABN, axis_name=axis, fused=fused, fused_stem=fused_stem, **cfg
+    )

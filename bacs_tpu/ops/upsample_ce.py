@@ -26,6 +26,16 @@ Decomposition (v2 kernel, round 2):
 Layout note: every in-kernel reshape merges/splits leading dims or
 tile-aligned minors only (Mosaic relayout-free).
 
+Structure (round 3): the differentiable primitives return raw SUMS
+(loss_sum, count) with a static `interp` spec; the public mean ops divide
+outside (AD through the division distributes 1/count into the kernel's g).
+The `interp` spec `(scale, offset)` generalizes the H matrix to SHARD-LOCAL
+windows, which is what makes the kernels compose with GSPMD spatial
+partitioning: `spatial_*` wrappers shard_map over a (data, space) mesh,
+halo-exchange ONE boundary row per neighbor (ppermute — replicate-padding
+at the global edges is mathematically identical to the clamped matrix), run
+the same Pallas kernels on the local block, and psum the partial sums.
+
 Semantics match ops/interpolate.resize_bilinear(align_corners=False) +
 ops/losses.cross_entropy (mean over non-ignore pixels); a jnp reference path
 backs non-TPU platforms and the unit tests.
@@ -34,11 +44,12 @@ backs non-TPU platforms and the unit tests.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 Array = jax.Array
 
@@ -46,16 +57,34 @@ NEG = -1e30
 ROW_BLOCK = 32  # output rows per grid step
 
 
-def _interp_matrix(out_dim: int, in_dim: int) -> np.ndarray:
-    """[out, in] bilinear matrix with half-pixel centers (align_corners=False)."""
+def _interp_matrix(
+    out_dim: int,
+    in_dim: int,
+    scale: Optional[float] = None,
+    offset: float = 0.0,
+    clamp: bool = True,
+) -> np.ndarray:
+    """[out, in] bilinear matrix with half-pixel centers (align_corners=False).
+
+    `scale`/`offset`/`clamp=False` build SHARD-LOCAL windows: coords =
+    (r+0.5)·scale − 0.5 + offset indexes a halo-padded local block (the
+    spatial-partitioning path; uniform across shards because the shard size
+    divides the 8× upsample period).
+    """
+    if scale is None:
+        if out_dim == in_dim:
+            k = np.zeros((out_dim, in_dim), np.float32)
+            np.fill_diagonal(k, 1.0)
+            return k
+        scale = in_dim / out_dim
     k = np.zeros((out_dim, in_dim), np.float32)
-    if out_dim == in_dim:
-        np.fill_diagonal(k, 1.0)
-        return k
-    coords = np.clip(
-        (np.arange(out_dim) + 0.5) * in_dim / out_dim - 0.5, 0, in_dim - 1
+    coords = (np.arange(out_dim) + 0.5) * scale - 0.5 + offset
+    if clamp:
+        coords = np.clip(coords, 0, in_dim - 1)
+    lo = np.floor(coords).astype(np.int64)
+    assert lo.min() >= 0 and lo.max() + 1 <= in_dim, (
+        f"interp window escapes the block: {lo.min()}..{lo.max()+1} vs {in_dim}"
     )
-    lo = np.clip(np.floor(coords).astype(np.int64), 0, in_dim - 1)
     hi = np.clip(lo + 1, 0, in_dim - 1)
     w = (coords - lo).astype(np.float32)
     k[np.arange(out_dim), lo] += 1.0 - w
@@ -63,14 +92,28 @@ def _interp_matrix(out_dim: int, in_dim: int) -> np.ndarray:
     return k
 
 
-def _block_kh(H: int, h: int, R: int):
+def _kmats(sem, out_hw, interp=None):
+    """Dense numpy (kh, kw) for this op instance.  `interp=(scale, offset)`
+    selects the unclamped shard-local H matrix."""
+    if interp is None:
+        kh = _interp_matrix(out_hw[0], sem.shape[1])
+    else:
+        scale, offset = interp
+        kh = _interp_matrix(
+            out_hw[0], sem.shape[1], scale=scale, offset=offset, clamp=False
+        )
+    kw = _interp_matrix(out_hw[1], sem.shape[2])
+    return kh, kw
+
+
+def _block_kh(k: np.ndarray, R: int):
     """Block-local H-interp: (starts[j], kh_blocks[j, R, hb]).
 
     Row block j of the output reads only a short contiguous input-row window
     (8× upsampling → ~R/8+2 rows); `starts` are static sublane-aligned
     offsets, `kh_blocks` the dense interp slice for that window.
     """
-    k = _interp_matrix(H, h)
+    H, h = k.shape
     n_j = H // R
     hb = int(np.ceil(R * h / H)) + 2 + 8  # span + alignment slack
     hb = min(((hb + 15) // 16) * 16, h)
@@ -79,7 +122,7 @@ def _block_kh(H: int, h: int, R: int):
     for j in range(n_j):
         rows = k[j * R : (j + 1) * R]
         nz = np.nonzero(rows.any(axis=0))[0]
-        start = min(int(nz.min()) // 8 * 8, h - hb)
+        start = max(min(int(nz.min()) // 8 * 8, h - hb), 0)
         assert int(nz.max()) < start + hb
         starts[j] = start
         blocks[j] = rows[:, start : start + hb]
@@ -91,15 +134,19 @@ def _block_kh(H: int, h: int, R: int):
 # ---------------------------------------------------------------------------
 
 
+def _upsample_jnp(sem, kh, kw):
+    up = jnp.einsum("Hh,nhwc->nHwc", jnp.asarray(kh), sem.astype(jnp.float32))
+    return jnp.einsum("Ww,nHwc->nHWc", jnp.asarray(kw), up)
+
+
 def _ce_sums_jnp(sem, labels, kh, kw, ignore_index):
-    up = jnp.einsum("Hh,nhwc->nHwc", kh, sem.astype(jnp.float32))
-    up = jnp.einsum("Ww,nHwc->nHWc", kw, up)
+    up = _upsample_jnp(sem, kh, kw)
     mask = labels != ignore_index
     safe = jnp.where(mask, labels, 0)
     lse = jax.nn.logsumexp(up, axis=-1)
     lab = jnp.take_along_axis(up, safe[..., None], axis=-1)[..., 0]
     loss_sum = jnp.sum((lse - lab) * mask)
-    return loss_sum, jnp.sum(mask)
+    return loss_sum, jnp.sum(mask).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -180,9 +227,9 @@ def _pad_c_neg(z: Array, mult: int = 8) -> Array:
     return z
 
 
-def _w_interp(sem: Array, kw: Array) -> Array:
+def _w_interp(sem: Array, kw: np.ndarray) -> Array:
     """[n,h,w,c] → [n,h,c,W] f32 with −1e30 channel padding."""
-    z = jnp.einsum("Ww,nhwc->nhcW", kw, sem.astype(jnp.float32))
+    z = jnp.einsum("Ww,nhwc->nhcW", jnp.asarray(kw), sem.astype(jnp.float32))
     return _pad_c_neg(z)
 
 
@@ -190,7 +237,8 @@ def _prep_call(sem, labels, kh, kw):
     """Shared pallas_call scaffolding for every upsample+CE variant:
     (lead_args, lead_specs, dims) — lead operands are always
     (starts, z, labels, kh_blocks) with identical BlockSpecs; variants
-    append their extra operands after these."""
+    append their extra operands after these.  kh/kw are dense NUMPY
+    matrices (possibly shard-local)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -198,7 +246,7 @@ def _prep_call(sem, labels, kh, kw):
     H, W = kh.shape[0], kw.shape[0]
     z = _w_interp(sem, kw)
     c_pad = z.shape[2]
-    starts, kh_blocks = _block_kh(H, h, ROW_BLOCK)
+    starts, kh_blocks = _block_kh(kh, ROW_BLOCK)
     hb = kh_blocks.shape[2]
     lead_args = (starts, z, labels.astype(jnp.int32), kh_blocks)
     lead_specs = [
@@ -265,7 +313,7 @@ def _ms_spec(dims):
                         memory_space=pltpu.VMEM)
 
 
-def _ce_sums_pallas(sem, labels, kh, kw, c_real):
+def _ce_sums_pallas(sem, labels, kh, kw):
     import jax.experimental.pallas as pl
 
     lead, specs, dims = _prep_call(sem, labels, kh, kw)
@@ -280,7 +328,7 @@ def _ce_sums_pallas(sem, labels, kh, kw, c_real):
     return jnp.sum(out[:, 0, 0]), jnp.sum(out[:, 0, 1])
 
 
-def _dsem_pallas(sem, labels, kh, kw, c_real, g):
+def _dsem_pallas(sem, labels, kh, kw, g):
     import jax.experimental.pallas as pl
 
     lead, specs, dims = _prep_call(sem, labels, kh, kw)
@@ -293,12 +341,13 @@ def _dsem_pallas(sem, labels, kh, kw, c_real, g):
         out_specs=out_spec,
     )(*lead, g.reshape(1, 1))
     # transpose W-interp outside (one einsum on the small side)
-    dsem = jnp.einsum("Ww,nhcW->nhwc", kw, dz[:, :, : sem.shape[-1], :])
+    dsem = jnp.einsum("Ww,nhcW->nhwc", jnp.asarray(kw),
+                      dz[:, :, : sem.shape[-1], :])
     return dsem.astype(sem.dtype)
 
 
 # ---------------------------------------------------------------------------
-# public op
+# plain CE: sums primitive + public mean op
 # ---------------------------------------------------------------------------
 
 
@@ -311,64 +360,72 @@ def _use_pallas(sem, out_hw) -> bool:
     h = sem.shape[1]
     return (
         out_hw[0] % ROW_BLOCK == 0
+        # W is the kernel's lane dimension — Mosaic rejects sub-128 lane
+        # reshapes (observed: smoke shapes W=64 fail "unsupported shape
+        # cast"); production 512² is a multiple
+        and out_hw[1] % 128 == 0
         and out_hw[0] >= h
         and out_hw[1] >= sem.shape[2]
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _ce_sums(sem, labels, out_hw, ignore_index, interp):
+    kh, kw = _kmats(sem, out_hw, interp)
+    if _use_pallas(sem, out_hw) and ignore_index == 255:
+        return _ce_sums_pallas(sem, labels, kh, kw)
+    return _ce_sums_jnp(sem, labels, kh, kw, ignore_index)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def upsampled_ce_sums(
+    sem_logits: Array,
+    labels: Array,
+    out_hw: Tuple[int, int],
+    ignore_index: int,
+    interp: Optional[Tuple[float, float]],
+) -> Tuple[Array, Array]:
+    """(Σ CE(upsample(sem), labels) over valid pixels, valid count).
+
+    The differentiable primitive all public/spatial variants build on;
+    `interp` is the static (scale, offset) of a shard-local H window."""
+    return _ce_sums(sem_logits, labels, out_hw, ignore_index, interp)
+
+
+def _uces_fwd(sem, labels, out_hw, ignore_index, interp):
+    ls, ct = _ce_sums(sem, labels, out_hw, ignore_index, interp)
+    return (ls, ct), (sem, labels)
+
+
+def _uces_bwd(out_hw, ignore_index, interp, res, g):
+    g_sum = g[0]  # the count output carries no sem gradient
+    sem, labels = res
+    kh, kw = _kmats(sem, out_hw, interp)
+    if _use_pallas(sem, out_hw) and ignore_index == 255:
+        dsem = _dsem_pallas(sem, labels, kh, kw, g_sum.astype(jnp.float32))
+        return dsem, None
+    up = _upsample_jnp(sem, kh, kw)
+    mask = labels != ignore_index
+    safe = jnp.where(mask, labels, 0)
+    soft = jax.nn.softmax(up, axis=-1)
+    onehot = jax.nn.one_hot(safe, sem.shape[-1])
+    dup = (soft - onehot) * mask[..., None] * g_sum
+    dsem = jnp.einsum("Ww,nHWc->nHwc", jnp.asarray(kw), dup)
+    dsem = jnp.einsum("Hh,nHwc->nhwc", jnp.asarray(kh), dsem).astype(sem.dtype)
+    return dsem, None
+
+
+upsampled_ce_sums.defvjp(_uces_fwd, _uces_bwd)
+
+
 def upsampled_cross_entropy(
     sem_logits: Array,
     labels: Array,
     out_hw: Tuple[int, int],
     ignore_index: int = 255,
 ) -> Array:
-    """mean CE(bilinear_upsample(sem_logits, out_hw), labels)."""
-    loss_sum, count = _ce_sums(sem_logits, labels, out_hw, ignore_index)
-    return loss_sum / jnp.maximum(count, 1.0)
-
-
-def _kmats(sem, out_hw):
-    kh = jnp.asarray(_interp_matrix(out_hw[0], sem.shape[1]))
-    kw = jnp.asarray(_interp_matrix(out_hw[1], sem.shape[2]))
-    return kh, kw
-
-
-def _ce_sums(sem, labels, out_hw, ignore_index):
-    kh, kw = _kmats(sem, out_hw)
-    if _use_pallas(sem, out_hw) and ignore_index == 255:
-        return _ce_sums_pallas(sem, labels, kh, kw, sem.shape[-1])
-    return _ce_sums_jnp(sem, labels, kh, kw, ignore_index)
-
-
-def _uce_fwd(sem, labels, out_hw, ignore_index):
-    loss_sum, count = _ce_sums(sem, labels, out_hw, ignore_index)
-    return loss_sum / jnp.maximum(count, 1.0), (sem, labels, count)
-
-
-def _uce_bwd(out_hw, ignore_index, res, g):
-    sem, labels, count = res
-    kh, kw = _kmats(sem, out_hw)
-    gn = g / jnp.maximum(count, 1.0)
-    if _use_pallas(sem, out_hw) and ignore_index == 255:
-        dsem = _dsem_pallas(
-            sem, labels, kh, kw, sem.shape[-1], gn.astype(jnp.float32)
-        )
-        return dsem, None
-    # jnp fallback backward
-    up = jnp.einsum("Hh,nhwc->nHwc", kh, sem.astype(jnp.float32))
-    up = jnp.einsum("Ww,nHwc->nHWc", kw, up)
-    mask = labels != ignore_index
-    safe = jnp.where(mask, labels, 0)
-    soft = jax.nn.softmax(up, axis=-1)
-    onehot = jax.nn.one_hot(safe, sem.shape[-1])
-    dup = (soft - onehot) * mask[..., None] * gn
-    dsem = jnp.einsum("Ww,nHWc->nHwc", kw, dup)
-    dsem = jnp.einsum("Hh,nHwc->nhwc", kh, dsem).astype(sem.dtype)
-    return dsem, None
-
-
-upsampled_cross_entropy.defvjp(_uce_fwd, _uce_bwd)
+    """mean CE(bilinear_upsample(sem_logits), labels)."""
+    ls, ct = upsampled_ce_sums(sem_logits, labels, out_hw, ignore_index, None)
+    return ls / jnp.maximum(ct, 1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -379,8 +436,7 @@ upsampled_cross_entropy.defvjp(_uce_fwd, _uce_bwd)
 
 
 def _wce_sums_jnp(sem, labels, weights, kh, kw, ignore_index):
-    up = jnp.einsum("Hh,nhwc->nHwc", kh, sem.astype(jnp.float32))
-    up = jnp.einsum("Ww,nHwc->nHWc", kw, up)
+    up = _upsample_jnp(sem, kh, kw)
     mask = labels != ignore_index
     safe = jnp.where(mask, labels, 0)
     lse = jax.nn.logsumexp(up, axis=-1)
@@ -489,11 +545,61 @@ def _dsem_pallas_w(sem, labels, weights, kh, kw, g):
         in_specs=specs + [_wvec_spec(dims), _g_spec()],
         out_specs=out_spec,
     )(*lead, _pad_w(weights, dims["c_pad"]), g.reshape(1, 1))
-    dsem = jnp.einsum("Ww,nhcW->nhwc", kw, dz[:, :, : sem.shape[-1], :])
+    dsem = jnp.einsum("Ww,nhcW->nhwc", jnp.asarray(kw),
+                      dz[:, :, : sem.shape[-1], :])
     return dsem.astype(sem.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _wce_sums(sem, labels, weights, out_hw, ignore_index, interp):
+    kh, kw = _kmats(sem, out_hw, interp)
+    if _use_pallas(sem, out_hw) and ignore_index == 255:
+        return _wce_sums_pallas(sem, labels, weights, kh, kw)
+    return _wce_sums_jnp(sem, labels, weights, kh, kw, ignore_index)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def upsampled_wce_sums(
+    sem_logits: Array,
+    labels: Array,
+    class_weights: Array,
+    out_hw: Tuple[int, int],
+    ignore_index: int,
+    interp: Optional[Tuple[float, float]],
+) -> Tuple[Array, Array]:
+    """(Σ w[y]·CE over valid pixels, Σ w[y]) — weights are a CONSTANT
+    (like torch's `weight=`): their VJP cotangent is hard zero."""
+    return _wce_sums(sem_logits, labels, class_weights, out_hw, ignore_index,
+                     interp)
+
+
+def _uwces_fwd(sem, labels, weights, out_hw, ignore_index, interp):
+    ls, ws = _wce_sums(sem, labels, weights, out_hw, ignore_index, interp)
+    return (ls, ws), (sem, labels, weights)
+
+
+def _uwces_bwd(out_hw, ignore_index, interp, res, g):
+    g_sum = g[0]
+    sem, labels, weights = res
+    kh, kw = _kmats(sem, out_hw, interp)
+    if _use_pallas(sem, out_hw) and ignore_index == 255:
+        dsem = _dsem_pallas_w(sem, labels, weights, kh, kw,
+                              g_sum.astype(jnp.float32))
+        return dsem, None, jnp.zeros_like(weights)
+    up = _upsample_jnp(sem, kh, kw)
+    mask = labels != ignore_index
+    safe = jnp.where(mask, labels, 0)
+    soft = jax.nn.softmax(up, axis=-1)
+    onehot = jax.nn.one_hot(safe, sem.shape[-1])
+    wpix = weights.astype(jnp.float32)[safe] * mask
+    dup = (soft - onehot) * (wpix * g_sum)[..., None]
+    dsem = jnp.einsum("Ww,nHWc->nHwc", jnp.asarray(kw), dup)
+    dsem = jnp.einsum("Hh,nHwc->nhwc", jnp.asarray(kh), dsem).astype(sem.dtype)
+    return dsem, None, jnp.zeros_like(weights)
+
+
+upsampled_wce_sums.defvjp(_uwces_fwd, _uwces_bwd)
+
+
 def upsampled_weighted_cross_entropy(
     sem_logits: Array,
     labels: Array,
@@ -502,51 +608,11 @@ def upsampled_weighted_cross_entropy(
     ignore_index: int = 255,
 ) -> Array:
     """torch-semantics weighted mean CE of the bilinear-upsampled logits:
-    sum(w[y]·nll) / sum(w[y]) over valid pixels.
-
-    `class_weights` is treated as a CONSTANT (like torch's `weight=`): its
-    VJP cotangent is hard zero.  Do not use this op to learn the weights.
-    """
-    loss_sum, wsum = _wce_sums(sem_logits, labels, class_weights, out_hw,
-                               ignore_index)
-    return loss_sum / jnp.maximum(wsum, 1e-8)
-
-
-def _wce_sums(sem, labels, weights, out_hw, ignore_index):
-    kh, kw = _kmats(sem, out_hw)
-    if _use_pallas(sem, out_hw) and ignore_index == 255:
-        return _wce_sums_pallas(sem, labels, weights, kh, kw)
-    return _wce_sums_jnp(sem, labels, weights, kh, kw, ignore_index)
-
-
-def _uwce_fwd(sem, labels, weights, out_hw, ignore_index):
-    loss_sum, wsum = _wce_sums(sem, labels, weights, out_hw, ignore_index)
-    return loss_sum / jnp.maximum(wsum, 1e-8), (sem, labels, weights, wsum)
-
-
-def _uwce_bwd(out_hw, ignore_index, res, g):
-    sem, labels, weights, wsum = res
-    kh, kw = _kmats(sem, out_hw)
-    gn = g / jnp.maximum(wsum, 1e-8)
-    if _use_pallas(sem, out_hw) and ignore_index == 255:
-        dsem = _dsem_pallas_w(
-            sem, labels, weights, kh, kw, gn.astype(jnp.float32)
-        )
-        return dsem, None, jnp.zeros_like(weights)
-    up = jnp.einsum("Hh,nhwc->nHwc", kh, sem.astype(jnp.float32))
-    up = jnp.einsum("Ww,nHwc->nHWc", kw, up)
-    mask = labels != ignore_index
-    safe = jnp.where(mask, labels, 0)
-    soft = jax.nn.softmax(up, axis=-1)
-    onehot = jax.nn.one_hot(safe, sem.shape[-1])
-    wpix = weights.astype(jnp.float32)[safe] * mask
-    dup = (soft - onehot) * (wpix * gn)[..., None]
-    dsem = jnp.einsum("Ww,nHWc->nHwc", kw, dup)
-    dsem = jnp.einsum("Hh,nHwc->nhwc", kh, dsem).astype(sem.dtype)
-    return dsem, None, jnp.zeros_like(weights)
-
-
-upsampled_weighted_cross_entropy.defvjp(_uwce_fwd, _uwce_bwd)
+    sum(w[y]·nll) / sum(w[y]) over valid pixels."""
+    ls, ws = upsampled_wce_sums(
+        sem_logits, labels, class_weights, out_hw, ignore_index, None
+    )
+    return ls / jnp.maximum(ws, 1e-8)
 
 
 # ---------------------------------------------------------------------------
@@ -558,17 +624,19 @@ upsampled_weighted_cross_entropy.defvjp(_uwce_fwd, _uwce_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _bacs_wce_jnp(sem, labels, max_seen, kh, kw, old_classes, gamma,
-                  threshold, ukd, ignore_index):
-    """Fallback = resize + the golden-tested weighted_cross_entropy."""
+def _bacs_wce_sum_jnp(sem, labels, max_seen, kh, kw, old_classes, gamma,
+                      threshold, ukd, ignore_index):
+    """Fallback = resize + the golden-tested weighted_cross_entropy, scaled
+    back to a SUM over all pixels (the op's mean divides by n_tot)."""
     from bacs_tpu.ops.losses import weighted_cross_entropy
 
-    up = jnp.einsum("Hh,nhwc->nHwc", kh, sem.astype(jnp.float32))
-    up = jnp.einsum("Ww,nHwc->nHWc", kw, up)
-    return weighted_cross_entropy(
+    up = _upsample_jnp(sem, kh, kw)
+    mean = weighted_cross_entropy(
         up, labels, max_seen[..., None], old_classes, gamma=gamma,
         threshold=threshold, ukd=ukd, ignore_index=ignore_index,
     )
+    n_tot = labels.shape[0] * labels.shape[1] * labels.shape[2]
+    return mean * n_tot
 
 
 def _bacs_terms(tile, labels, ms, old_classes, gamma, threshold, ukd):
@@ -703,11 +771,66 @@ def _bacs_pallas(sem, labels, max_seen, kh, kw, old_classes, gamma,
         in_specs=specs + [_g_spec()],
         out_specs=out_spec,
     )(*args, g.reshape(1, 1))
-    dsem = jnp.einsum("Ww,nhcW->nhwc", kw, dz[:, :, : sem.shape[-1], :])
+    dsem = jnp.einsum("Ww,nhcW->nhwc", jnp.asarray(kw),
+                      dz[:, :, : sem.shape[-1], :])
     return dsem.astype(sem.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def upsampled_bacs_wce_sum(
+    sem_logits: Array,
+    labels: Array,
+    max_seen: Array,
+    out_hw: Tuple[int, int],
+    old_classes: int,
+    gamma: float,
+    threshold: float,
+    ukd: bool,
+    ignore_index: int,
+    interp: Optional[Tuple[float, float]],
+) -> Array:
+    """SUM of the BACS weighted CE terms of the bilinear-upsampled logits —
+    the full-res logits never materialize.  `max_seen` [N, H, W]: per-pixel
+    max seen-probability (already stop-gradded, full resolution).  The
+    public mean op divides by the total pixel count (the reference's
+    mean-over-ALL-pixels quirk)."""
+    kh, kw = _kmats(sem_logits, out_hw, interp)
+    if _use_pallas(sem_logits, out_hw) and ignore_index == 255:
+        return _bacs_pallas(sem_logits, labels, max_seen, kh, kw, old_classes,
+                            gamma, threshold, ukd, want_grad=False)
+    return _bacs_wce_sum_jnp(sem_logits, labels, max_seen, kh, kw,
+                             old_classes, gamma, threshold, ukd, ignore_index)
+
+
+def _ubws_fwd(sem, labels, max_seen, out_hw, old_classes, gamma, threshold,
+              ukd, ignore_index, interp):
+    s = upsampled_bacs_wce_sum(
+        sem, labels, max_seen, out_hw, old_classes, gamma, threshold, ukd,
+        ignore_index, interp,
+    )
+    return s, (sem, labels, max_seen)
+
+
+def _ubws_bwd(out_hw, old_classes, gamma, threshold, ukd, ignore_index,
+              interp, res, g):
+    sem, labels, max_seen = res
+    kh, kw = _kmats(sem, out_hw, interp)
+    if _use_pallas(sem, out_hw) and ignore_index == 255:
+        dsem = _bacs_pallas(
+            sem, labels, max_seen, kh, kw, old_classes, gamma, threshold,
+            ukd, want_grad=True, g=g.astype(jnp.float32),
+        )
+        return dsem, None, None
+    dsem = jax.grad(
+        lambda s: _bacs_wce_sum_jnp(s, labels, max_seen, kh, kw, old_classes,
+                                    gamma, threshold, ukd, ignore_index) * g
+    )(sem)
+    return dsem, None, None
+
+
+upsampled_bacs_wce_sum.defvjp(_ubws_fwd, _ubws_bwd)
+
+
 def upsampled_bacs_weighted_ce(
     sem_logits: Array,
     labels: Array,
@@ -719,44 +842,155 @@ def upsampled_bacs_weighted_ce(
     ukd: bool = True,
     ignore_index: int = 255,
 ) -> Array:
-    """BACS weighted CE of the bilinear-upsampled logits — the full-res
-    logits never materialize.  `max_seen` [N, H, W]: per-pixel max
-    seen-probability (already stop-gradded, full resolution).  Mean over
-    ALL pixels (the reference quirk)."""
-    kh, kw = _kmats(sem_logits, out_hw)
-    if _use_pallas(sem_logits, out_hw) and ignore_index == 255:
-        s = _bacs_pallas(sem_logits, labels, max_seen, kh, kw, old_classes,
-                         gamma, threshold, ukd, want_grad=False)
-        n_tot = labels.shape[0] * labels.shape[1] * labels.shape[2]
-        return s / n_tot
-    return _bacs_wce_jnp(sem_logits, labels, max_seen, kh, kw, old_classes,
-                         gamma, threshold, ukd, ignore_index)
-
-
-def _ubw_fwd(sem, labels, max_seen, out_hw, old_classes, gamma, threshold,
-             ukd, ignore_index):
-    loss = upsampled_bacs_weighted_ce(
-        sem, labels, max_seen, out_hw, old_classes, gamma, threshold, ukd,
-        ignore_index,
+    """BACS weighted CE, mean over ALL pixels (the reference quirk,
+    loss_utils.py:523-588)."""
+    s = upsampled_bacs_wce_sum(
+        sem_logits, labels, max_seen, out_hw, old_classes, gamma, threshold,
+        ukd, ignore_index, None,
     )
-    return loss, (sem, labels, max_seen)
-
-
-def _ubw_bwd(out_hw, old_classes, gamma, threshold, ukd, ignore_index, res, g):
-    sem, labels, max_seen = res
-    kh, kw = _kmats(sem, out_hw)
     n_tot = labels.shape[0] * labels.shape[1] * labels.shape[2]
-    if _use_pallas(sem, out_hw) and ignore_index == 255:
-        dsem = _bacs_pallas(
-            sem, labels, max_seen, kh, kw, old_classes, gamma, threshold,
-            ukd, want_grad=True, g=(g / n_tot).astype(jnp.float32),
+    return s / n_tot
+
+
+# ---------------------------------------------------------------------------
+# GSPMD spatial-partitioning composition: shard_map the kernels over a
+# (data, space) mesh.  Each space shard owns H/S output rows; its input
+# window needs exactly ONE neighbor row per side (8× bilinear upsample),
+# exchanged via ppermute.  Shard-local interp matrices are uniform across
+# shards because the shard size divides the upsample period; replicate-
+# padding at the global edges equals the clamped global matrix exactly.
+# ---------------------------------------------------------------------------
+
+
+def spatial_shapes_ok(mesh, batch: int, out_h: int, sem_h: int) -> bool:
+    """Whether (batch, label-H, sem-h) divide the (data, space) mesh — the
+    precondition for the shard_map'ped kernel wrappers.  Callers fall back
+    to the XLA-composed global path otherwise (e.g. small replay
+    minibatches), which GSPMD partitions natively: identical math, unfused.
+    """
+    d, s = mesh.shape["data"], mesh.shape["space"]
+    return batch % d == 0 and out_h % s == 0 and sem_h % s == 0
+
+
+def _halo_pad(x: Array, axis_name: str, n_space: int) -> Array:
+    """[n, h_loc, ...] → [n, h_loc+2, ...] with 1 neighbor row per side
+    (replicated at the global top/bottom edges).  Differentiable: the
+    ppermute transpose routes halo cotangents back to their owners."""
+    first, last = x[:, :1], x[:, -1:]
+    if n_space > 1:
+        top = jax.lax.ppermute(
+            last, axis_name, [(i, i + 1) for i in range(n_space - 1)]
         )
-        return dsem, None, None
-    dsem = jax.grad(
-        lambda s: _bacs_wce_jnp(s, labels, max_seen, kh, kw, old_classes,
-                                gamma, threshold, ukd, ignore_index) * g
-    )(sem)
-    return dsem, None, None
+        bot = jax.lax.ppermute(
+            first, axis_name, [(i + 1, i) for i in range(n_space - 1)]
+        )
+        idx = jax.lax.axis_index(axis_name)
+        top = jnp.where(idx == 0, first, top)
+        bot = jnp.where(idx == n_space - 1, last, bot)
+    else:
+        top, bot = first, last
+    return jnp.concatenate([top, x, bot], axis=1)
 
 
-upsampled_bacs_weighted_ce.defvjp(_ubw_fwd, _ubw_bwd)
+def _spatial_spec(mesh, out_hw, sem_h):
+    """(n_space, H_loc, interp) for the shard-local kernels."""
+    n_space = mesh.shape["space"]
+    H, _ = out_hw
+    if H % n_space or sem_h % n_space:
+        raise ValueError(f"{out_hw} / h={sem_h} not divisible by space={n_space}")
+    H_loc = H // n_space
+    # H_loc % ROW_BLOCK != 0 falls back to the per-shard jnp path via the
+    # _use_pallas gate (still correct, just unfused) — the production 512²/8×
+    # shapes are all multiples
+    scale = sem_h / H
+    return n_space, H_loc, (scale, 1.0)  # offset 1 = the top halo row
+
+
+def spatial_upsampled_cross_entropy(
+    sem_logits: Array,
+    labels: Array,
+    out_hw: Tuple[int, int],
+    mesh,
+    ignore_index: int = 255,
+) -> Array:
+    """`upsampled_cross_entropy` under a (data, space) GSPMD mesh: the
+    Pallas kernels run per-shard on halo-padded local blocks; the mean's
+    numerator/denominator are psum'd over the whole mesh, so the result is
+    replicated (and bit-identical in structure to the single-chip op)."""
+    n_space, H_loc, interp = _spatial_spec(mesh, out_hw, sem_logits.shape[1])
+
+    def body(sem_l, labels_l):
+        padded = _halo_pad(sem_l, "space", n_space)
+        ls, ct = upsampled_ce_sums(
+            padded, labels_l, (H_loc, out_hw[1]), ignore_index, interp
+        )
+        return (jax.lax.psum(ls, ("data", "space")),
+                jax.lax.psum(ct, ("data", "space")))
+
+    ls, ct = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data", "space"), P("data", "space")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(sem_logits, labels)
+    return ls / jnp.maximum(ct, 1.0)
+
+
+def spatial_upsampled_weighted_cross_entropy(
+    sem_logits: Array,
+    labels: Array,
+    class_weights: Array,
+    out_hw: Tuple[int, int],
+    mesh,
+    ignore_index: int = 255,
+) -> Array:
+    n_space, H_loc, interp = _spatial_spec(mesh, out_hw, sem_logits.shape[1])
+
+    def body(sem_l, labels_l, w):
+        padded = _halo_pad(sem_l, "space", n_space)
+        ls, ws = upsampled_wce_sums(
+            padded, labels_l, w, (H_loc, out_hw[1]), ignore_index, interp
+        )
+        return (jax.lax.psum(ls, ("data", "space")),
+                jax.lax.psum(ws, ("data", "space")))
+
+    ls, ws = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data", "space"), P("data", "space"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(sem_logits, labels, class_weights)
+    return ls / jnp.maximum(ws, 1e-8)
+
+
+def spatial_upsampled_bacs_weighted_ce(
+    sem_logits: Array,
+    labels: Array,
+    max_seen: Array,
+    out_hw: Tuple[int, int],
+    mesh,
+    old_classes: int,
+    gamma: float = 2.0,
+    threshold: float = 0.5,
+    ukd: bool = True,
+    ignore_index: int = 255,
+) -> Array:
+    n_space, H_loc, interp = _spatial_spec(mesh, out_hw, sem_logits.shape[1])
+
+    def body(sem_l, labels_l, ms_l):
+        padded = _halo_pad(sem_l, "space", n_space)
+        s = upsampled_bacs_wce_sum(
+            padded, labels_l, ms_l, (H_loc, out_hw[1]), old_classes, gamma,
+            threshold, ukd, ignore_index, interp,
+        )
+        s = jax.lax.psum(s, ("data", "space"))
+        n_loc = labels_l.shape[0] * labels_l.shape[1] * labels_l.shape[2]
+        n_tot = jax.lax.psum(jnp.float32(n_loc), ("data", "space"))
+        return s / n_tot
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data", "space"), P("data", "space"), P("data", "space")),
+        out_specs=P(),
+        check_vma=False,
+    )(sem_logits, labels, max_seen)

@@ -27,7 +27,7 @@ from bacs_tpu.ops.interpolate import resize_bilinear
 from bacs_tpu.ops.upsample_ce import (
     ROW_BLOCK,
     _block_kh,
-    _interp_matrix,
+    _kmats,
     _w_interp,
 )
 
@@ -85,6 +85,7 @@ def _conf_kernel(
 
 
 def _conf_pallas(sem, labels, kh, kw, c_real, num_classes):
+    """kh/kw are dense NUMPY interp matrices (possibly shard-local)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -92,7 +93,7 @@ def _conf_pallas(sem, labels, kh, kw, c_real, num_classes):
     H, W = kh.shape[0], kw.shape[0]
     z = _w_interp(sem, kw)  # [n, h, c, W], −1e30 channel padding
     c_pad = z.shape[2]
-    starts, kh_blocks = _block_kh(H, h, ROW_BLOCK)
+    starts, kh_blocks = _block_kh(kh, ROW_BLOCK)
     hb = kh_blocks.shape[2]
     c_out = max(128, -(-num_classes // 128) * 128)
     out = pl.pallas_call(
@@ -122,6 +123,7 @@ def _use_pallas(sem, out_hw) -> bool:
         return False
     return (
         out_hw[0] % ROW_BLOCK == 0
+        and out_hw[1] % 128 == 0  # lane dim (see upsample_ce._use_pallas)
         and out_hw[0] >= sem.shape[1]
         and out_hw[1] >= sem.shape[2]
     )
@@ -133,16 +135,55 @@ def upsampled_confusion(
     out_hw: Tuple[int, int],
     num_classes: int,
     ignore_index: int = 255,
+    interp=None,
 ) -> Array:
     """[num_classes, num_classes] confusion of argmax(upsample(sem_logits)).
 
     `sem_logits` should already be sliced to the active classes; rows/cols
-    beyond them stay zero.
+    beyond them stay zero.  `interp=(scale, offset)` selects a shard-local
+    H window (the spatial-partitioning path).
     """
+    kh, kw = _kmats(sem_logits, out_hw, interp)
     if _use_pallas(sem_logits, out_hw):
-        kh = jnp.asarray(_interp_matrix(out_hw[0], sem_logits.shape[1]))
-        kw = jnp.asarray(_interp_matrix(out_hw[1], sem_logits.shape[2]))
         c_active = sem_logits.shape[-1]
-        conf = _conf_pallas(sem_logits, labels, kh, kw, c_active, num_classes)
-        return conf
-    return _conf_jnp(sem_logits, labels, out_hw, num_classes, ignore_index)
+        return _conf_pallas(sem_logits, labels, kh, kw, c_active, num_classes)
+    if interp is None:
+        return _conf_jnp(sem_logits, labels, out_hw, num_classes, ignore_index)
+    up = jnp.einsum("Hh,nhwc->nHwc", jnp.asarray(kh),
+                    sem_logits.astype(jnp.float32))
+    up = jnp.einsum("Ww,nHwc->nHWc", jnp.asarray(kw), up)
+    preds = jnp.argmax(up, axis=-1)
+    return confusion_matrix(preds, labels, num_classes, ignore_index)
+
+
+def spatial_upsampled_confusion(
+    sem_logits: Array,
+    labels: Array,
+    out_hw: Tuple[int, int],
+    mesh,
+    num_classes: int,
+    ignore_index: int = 255,
+) -> Array:
+    """`upsampled_confusion` under a (data, space) GSPMD mesh: per-shard
+    kernels on halo-padded blocks, partial matrices psum'd over the mesh
+    (same composition as ops/upsample_ce.spatial_* wrappers)."""
+    from jax.sharding import PartitionSpec as P
+
+    from bacs_tpu.ops.upsample_ce import _halo_pad, _spatial_spec
+
+    n_space, H_loc, interp = _spatial_spec(mesh, out_hw, sem_logits.shape[1])
+
+    def body(sem_l, labels_l):
+        padded = _halo_pad(sem_l, "space", n_space)
+        cm = upsampled_confusion(
+            padded, labels_l, (H_loc, out_hw[1]), num_classes, ignore_index,
+            interp,
+        )
+        return jax.lax.psum(cm, ("data", "space"))
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data", "space"), P("data", "space")),
+        out_specs=P(),
+        check_vma=False,
+    )(sem_logits, labels)

@@ -80,14 +80,37 @@ def _eval_step_impl(
     if (
         aux.sem_logits is not None
         and aux.sem_logits.shape[1:3] != tuple(label_hw)
+        and ctx.fused_ce
     ):
         # fused upsample+argmax+confusion — full-res logits never exist
-        from bacs_tpu.ops.upsample_confusion import upsampled_confusion
+        from bacs_tpu.ops.upsample_ce import spatial_shapes_ok
 
-        cm = upsampled_confusion(
-            aux.sem_logits, batch["label"], tuple(label_hw), num_classes,
-            method.ignore_index,
-        )
+        if ctx.spatial_mesh is not None and spatial_shapes_ok(
+            ctx.spatial_mesh, batch["label"].shape[0], label_hw[0],
+            aux.sem_logits.shape[1],
+        ):
+            from bacs_tpu.ops.upsample_confusion import (
+                spatial_upsampled_confusion,
+            )
+
+            cm = spatial_upsampled_confusion(
+                aux.sem_logits, batch["label"], tuple(label_hw),
+                ctx.spatial_mesh, num_classes, method.ignore_index,
+            )
+        elif ctx.spatial_mesh is not None:
+            # mesh-indivisible shapes: composed global path (GSPMD-safe)
+            preds = jnp.argmax(aux.logits, axis=-1)
+            cm = confusion_matrix(
+                preds, batch["label"], num_classes,
+                ignore_index=method.ignore_index,
+            )
+        else:
+            from bacs_tpu.ops.upsample_confusion import upsampled_confusion
+
+            cm = upsampled_confusion(
+                aux.sem_logits, batch["label"], tuple(label_hw), num_classes,
+                method.ignore_index,
+            )
     else:
         preds = jnp.argmax(aux.logits, axis=-1)
         cm = confusion_matrix(
@@ -208,11 +231,14 @@ def make_gspmd_steps(
     exactly), and all-reduces the gradients.  No shard_map, no named-axis
     collectives.
 
-    Caveat: Pallas custom calls cannot be spatially partitioned by GSPMD —
-    the Trainer disables the fused upsample-CE kernel (env gate) when this
-    path is active; `fused_abn` is pure-jnp custom_vjp and shards fine.
+    Pallas custom calls cannot be spatially partitioned by GSPMD itself, so
+    the fused upsample+CE/confusion kernels run shard_map'ped per
+    space-shard with halo exchange instead (ops/upsample_ce.py spatial_*
+    wrappers, selected via ctx.spatial_mesh); `fused_abn` is pure-jnp
+    custom_vjp and shards fine.
     """
     assert ctx.axis_name is None, "GSPMD path uses global (unnamed) reductions"
+    assert ctx.spatial_mesh is mesh, "ctx.spatial_mesh must be the step mesh"
     assert mesh.axis_names == ("data", "space"), mesh.axis_names
     train_impl = partial(_train_step_impl, ctx, method, tx)
     eval_impl = partial(_eval_step_impl, ctx, method, num_classes)

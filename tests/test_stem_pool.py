@@ -77,17 +77,16 @@ def test_gradients_match_plain_ad():
         )
 
 
-def test_abn_module_pool_fused_vs_standard(monkeypatch):
+def test_abn_module_pool_fused_vs_standard():
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32))
-    mod = ABN(features=8, pool=True)
+    mod = ABN(features=8, pool=True, fused=False)
     variables = mod.init(jax.random.PRNGKey(0), x)
 
-    monkeypatch.setenv("BACS_FUSED_ABN", "0")
     y_std, mut_std = mod.apply(variables, x, mutable=["batch_stats"])
-    monkeypatch.setenv("BACS_FUSED_ABN", "1")
-    monkeypatch.setenv("BACS_FUSED_STEM", "1")  # gate defaults off in-step
-    y_fused, mut_fused = mod.apply(variables, x, mutable=["batch_stats"])
+    # config-keyed gates (fused_stem defaults off in-step)
+    mod_fused = ABN(features=8, pool=True, fused=True, fused_stem=True)
+    y_fused, mut_fused = mod_fused.apply(variables, x, mutable=["batch_stats"])
 
     assert y_fused.shape == (2, 8, 8, 8)
     np.testing.assert_allclose(
