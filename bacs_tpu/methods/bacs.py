@@ -78,6 +78,7 @@ class BACSMethod(ExperienceReplayMethod):
         mixup_alpha: float = 1.0,
         mixup_threshold: int = 10,
         transplant_mode: str = "reference",
+        merged_replay: bool = False,
         **kwargs,
     ):
         if transplant_mode not in ("reference", "per_sample"):
@@ -108,6 +109,7 @@ class BACSMethod(ExperienceReplayMethod):
         self.mixup_alpha = mixup_alpha
         self.mixup_threshold = mixup_threshold
         self.transplant_mode = transplant_mode
+        self.merged_replay = merged_replay
 
     # ------------------------------------------------------------------
 
@@ -199,7 +201,6 @@ class BACSMethod(ExperienceReplayMethod):
 
     def _dark_logits(self, ctx, params, state, batch_stats, rng):
         """α term (reference: bacs_loss.py:387-431)."""
-        task = ctx.task
         r_sample, r_aug, r_fwd = jax.random.split(rng, 3)
         mem = buffer_lib.sample(
             state.buffer, r_sample, self.replay_minibatch_size
@@ -207,6 +208,12 @@ class BACSMethod(ExperienceReplayMethod):
         inputs = random_autocontrast(r_aug, mem["images"])
         out, new_bs = ctx.forward(params, batch_stats, inputs, True, r_fwd)
         sem = out.sem_logits[..., : ctx.n_cur]
+        dark = self._dark_from_sem(ctx, sem, mem)
+        return dark, new_bs, mem
+
+    def _dark_from_sem(self, ctx, sem, mem):
+        """The α-term math given the replay batch's sem logits (shared by
+        the two-forward parity path and the merged-forward variant)."""
         mem_logits = mem["logits"][..., : ctx.n_cur]
         transplant = jax.lax.stop_gradient(sem)
         if self.transplant_mode == "per_sample":
@@ -250,10 +257,8 @@ class BACSMethod(ExperienceReplayMethod):
             cos = jnp.sum(a * b, -1) / (
                 jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1) + 1e-8
             )
-            dark = jnp.mean(1.0 - cos)
-        else:
-            dark = jnp.mean(jnp.square(mem_logits - sem))
-        return dark, new_bs, mem
+            return jnp.mean(1.0 - cos)
+        return jnp.mean(jnp.square(mem_logits - sem))
 
     def _dark_pp(self, ctx, params, state, batch_stats, rng, updates):
         """β term (reference: bacs_loss.py:342-385)."""
@@ -347,8 +352,84 @@ class BACSMethod(ExperienceReplayMethod):
         loss = jnp.mean(lam[:, None, None] * ce_a + (1 - lam)[:, None, None] * ce_b)
         return loss, new_bs, updates
 
+    def _merged_replay_der_loss(self, ctx, params, state, batch_stats, rng,
+                                updates):
+        """α+β replay in ONE concatenated forward (loss.merged_replay).
+
+        Halves the replay leg's BN-stats passes and kernel dispatches by
+        batching the dark-logits and dark++ samples through a single 2B
+        forward.  DEVIATION from the reference's two-loader semantics: BN
+        batch statistics are computed over the merged batch, so train-mode
+        activations differ slightly from the two-forward parity path —
+        off by default; measured in scripts/bench_bacs_step.py --merged."""
+        from bacs_tpu.data.transforms import replay_augment
+        from bacs_tpu.ops.losses import cross_entropy
+
+        task = ctx.task
+        r_alpha, r_beta = jax.random.split(rng)
+        rs_a, r_aug_a, r_fwd = jax.random.split(r_alpha, 3)
+        mem_dl = buffer_lib.sample(
+            state.buffer, rs_a, self.replay_minibatch_size
+        )
+        inputs_dl = random_autocontrast(r_aug_a, mem_dl["images"])
+        rs_b, r_aug_b = jax.random.split(r_beta)
+        mem_pp = buffer_lib.sample(
+            state.buffer, rs_b, self.replay_minibatch_size
+        )
+        imgs_pp, labs_pp = replay_augment(
+            r_aug_b, mem_pp["images"], mem_pp["labels"]
+        )
+        nb = inputs_dl.shape[0]
+        big = jnp.concatenate(
+            [inputs_dl, imgs_pp.astype(inputs_dl.dtype)], axis=0
+        )
+        out, new_bs = ctx.forward(params, batch_stats, big, True, r_fwd)
+        sem = out.sem_logits[..., : ctx.n_cur]
+        dark = self._dark_from_sem(ctx, sem[:nb], mem_dl)
+
+        cls_idx = jnp.arange(ctx.n_cur)
+        start = 1 if self.ignore_rep_bg else 0
+        weights = (
+            (cls_idx >= start) & (cls_idx < task.old_classes)
+        ).astype(jnp.float32)
+        sem_pp = sem[nb:]
+        if (
+            sem_pp.shape[1] < labs_pp.shape[1]
+            and ctx.fused_ce
+            and ctx.spatial_mesh is None
+        ):
+            from bacs_tpu.ops.upsample_ce import (
+                upsampled_weighted_cross_entropy,
+            )
+
+            pp = upsampled_weighted_cross_entropy(
+                sem_pp, labs_pp, weights, labs_pp.shape[1:3],
+                self.ignore_index,
+            )
+        else:
+            pp = cross_entropy(
+                out.logits[nb:, ..., : ctx.n_cur], labs_pp,
+                self.ignore_index, class_weights=weights,
+            )
+        # pp samples fold into the prototypes like the two-forward path
+        # (base_loss.py:219-220); the dark-logits forward never does
+        updates = self.prototype_updates(
+            ctx, state, out.penultimate[nb:], labs_pp, True, base=updates
+        )
+        return self.alpha * dark + self.beta * pp, new_bs, updates
+
     def _replay_der_loss(self, ctx, params, state, batch_stats, rng, updates):
         """(reference: bacs_loss.py:433-463)."""
+        if (
+            self.merged_replay
+            and self.alpha != 0
+            and self.beta != 0
+            and self.dark_plus_plus
+            and not self.mixup
+        ):
+            return self._merged_replay_der_loss(
+                ctx, params, state, batch_stats, rng, updates
+            )
         r_alpha, r_beta = jax.random.split(rng)
         total = 0.0
         if self.alpha != 0:

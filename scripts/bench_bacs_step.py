@@ -27,7 +27,8 @@ from bacs_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 
-def main(smoke: bool = False, bg_weighted: bool = True, replay: bool = True):
+def main(smoke: bool = False, bg_weighted: bool = True, replay: bool = True,
+         merged: bool = False):
     from bacs_tpu.methods import create_method
     from bacs_tpu.methods.base import ModelContext
     from bacs_tpu.models import create_network
@@ -56,6 +57,7 @@ def main(smoke: bool = False, bg_weighted: bool = True, replay: bool = True):
     method = create_method(
         "loss.BACSLoss", use_bg_detector=True, bg_weighted_ce=bg_weighted,
         buffer_size=50, replay_minibatch_size=8, alpha=a, beta=a,
+        merged_replay=merged,  # --merged: single-forward replay experiment
     )
     tx = make_optimizer(
         {"_target_": "torch.optim.SGD", "lr": 0.01, "momentum": 0.9,
@@ -108,7 +110,8 @@ def main(smoke: bool = False, bg_weighted: bool = True, replay: bool = True):
     dt = (time.perf_counter() - t0) / reps
     print(json.dumps({
         "metric": f"bacs_step_{backbone}_{crop}_b{batch}"
-                  f"_w{int(bg_weighted)}_r{int(replay)}",
+                  f"_w{int(bg_weighted)}_r{int(replay)}"
+                  + ("_merged" if merged else ""),
         "step_ms": round(dt * 1e3, 1),
         "images_per_sec": round(batch / dt, 1),
     }))
@@ -119,4 +122,5 @@ if __name__ == "__main__":
         smoke="--smoke" in sys.argv,
         bg_weighted="--no-weighted" not in sys.argv,
         replay="--no-replay" not in sys.argv,
+        merged="--merged" in sys.argv,
     )

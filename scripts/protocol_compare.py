@@ -1,0 +1,139 @@
+"""Reproduce docs/RESULTS.md's continual-learning protocol tables.
+
+One seeded command regenerates both tables (VERDICT r2 next #4 — the
+protocols were previously only described, not checked in):
+
+    python scripts/protocol_compare.py --protocol 3task
+    python scripts/protocol_compare.py --protocol 15-1
+    python scripts/protocol_compare.py --protocol 3task --methods ce,mib,bacs
+
+Protocols (identical to the RESULTS.md setups):
+
+  3task: 6 classes (bg+5), 3 tasks (initial 3 fg, +1/task, overlap), UNet-3,
+         crop 32, 8 epochs/task, SGD nesterov lr 0.05 (lr_next 0.01),
+         48 train / 16 val synthetic images, MultiHead learner; BACS runs
+         with bg_detector + buffer 24.
+  15-1:  21 classes, initial 15 fg +1/task → 6 tasks (the VOC 15-1 shape),
+         UNet-4, crop 48, 6 epochs/task, 160 train images, overlap;
+         BACS: bg_detector + buffer 60, α=β=0.5.
+
+Emits a markdown table row per method:
+`| method | final mIoU | oldest-task mIoU at end | Avg-IoU per dataset |`
+plus one JSON line per method for scripting.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+METHOD_LOSS = {
+    "ce": "crossentropy",
+    "mib": "mib",
+    "plop": "plop",
+    "er": "er",
+    "bacs": "bacs",
+    "sdr": "sdr",
+}
+
+PROTOCOLS = {
+    "3task": dict(
+        n_classes=6, initial=3, increment=1, crop=32, epochs=8,
+        n_train=48, n_val=16, layers=3, lr=0.05, lr_next=0.01,
+        buffer=24, batch=8,
+        default_methods=("ce", "mib", "plop", "er", "bacs", "sdr"),
+    ),
+    "15-1": dict(
+        n_classes=21, initial=15, increment=1, crop=48, epochs=6,
+        n_train=160, n_val=32, layers=4, lr=0.05, lr_next=0.01,
+        buffer=60, batch=8,
+        default_methods=("ce", "bacs"),
+    ),
+}
+
+
+def run_method(protocol: dict, method: str, seed: int):
+    from bacs_tpu.config import load_config
+    from bacs_tpu.train.loop import Trainer
+
+    p = protocol
+    overrides = [
+        f"loss={METHOD_LOSS[method]}",
+        f"dataset.dataset.num_classes={p['n_classes']}",
+        f"dataset.dataset.crop_size={p['crop']}",
+        f"dataset.dataset.n_train={p['n_train']}",
+        f"dataset.dataset.n_val={p['n_val']}",
+        f"network.num_layers={p['layers']}",
+        f"training.initial_increment={p['initial']}",
+        f"training.increment={p['increment']}",
+        f"training.epochs={p['epochs']}",
+        f"training.batch_size={p['batch']}",
+        f"training.seed={seed}",
+        f"training.lr_next={p['lr_next']}",
+        f"optimizer.lr={p['lr']}",
+        "training.debug=false",  # protocol runs use the full synthetic set
+    ]
+    if method == "bacs":
+        overrides += [
+            "training.bg_detector=true",
+            f"loss.buffer_size={p['buffer']}",
+            "loss.alpha=0.5",
+            "loss.beta=0.5",
+        ]
+    elif method == "er":
+        overrides += [f"loss.buffer_size={p['buffer']}"]
+    config = load_config("conf/continual_debug", "config", overrides)
+    t0 = time.time()
+    trainer = Trainer(config)
+    final = trainer.fit()
+    rows = trainer.per_step_metric._per_step["mIoU"]
+    oldest_end = float(rows[-1][0]) if rows and rows[-1] else float("nan")
+    avg_iou = [round(float(v), 3)
+               for v in trainer.per_step_metric.get_avg_iou()]
+    return dict(
+        method=method,
+        final_miou=round(float(final), 3),
+        oldest_task_miou=round(oldest_end, 3),
+        avg_iou_per_dataset=avg_iou,
+        seconds=round(time.time() - t0, 1),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--protocol", choices=sorted(PROTOCOLS), default="3task")
+    ap.add_argument("--methods", default=None,
+                    help="comma list (default: the protocol's full set)")
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    from bacs_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    p = PROTOCOLS[args.protocol]
+    methods = (args.methods.split(",") if args.methods
+               else list(p["default_methods"]))
+    results = []
+    for m in methods:
+        r = run_method(p, m, args.seed)
+        results.append(r)
+        print(json.dumps(r))
+
+    print(f"\n## {args.protocol} protocol (seed {args.seed})\n")
+    print("| Method | final mIoU | oldest-task mIoU at end | "
+          "Avg-IoU per dataset |")
+    print("|--------|-----------:|------------------------:|---------|")
+    for r in results:
+        avg = " / ".join(f"{v:.2f}" for v in r["avg_iou_per_dataset"])
+        print(f"| {r['method']} | {r['final_miou']:.3f} | "
+              f"{r['oldest_task_miou']:.3f} | {avg} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,8 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.parity  # torch-reference tier (see pytest.ini)
+
 if not os.path.isdir("/root/reference"):  # pragma: no cover
     pytest.skip("reference repo not available", allow_module_level=True)
 

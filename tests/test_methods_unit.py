@@ -105,3 +105,95 @@ def test_dark_logits_transplant_semantics():
     # sample 0: channels 3,4 transplanted; sample 1: untouched
     np.testing.assert_allclose(np.asarray(out[0, 0, 0]), [0, 1, 2, -1, -1])
     np.testing.assert_allclose(np.asarray(out[1, 0, 0]), [5, 6, 7, 8, 9])
+
+
+def test_reference_transplant_mode_matches_reference_loop():
+    """transplant_mode="reference" mirrors the reference's unique/inverse
+    indexing exactly (bacs_loss.py:418-427): per unique class-count, only
+    the item at `returned_indices[indx]` gets the grown channels."""
+    from types import SimpleNamespace
+
+    from bacs_tpu.methods import create_method
+
+    n_cur = 6
+    rs = np.random.RandomState(0)
+    for n_classes in ([4, 4, 4], [3, 5, 3, 5], [2, 6, 4, 2]):
+        B = len(n_classes)
+        mem_logits = rs.randn(B, 2, 2, n_cur).astype(np.float32)
+        sem = rs.randn(B, 2, 2, n_cur).astype(np.float32)
+
+        # --- python emulation of the reference loop ---
+        expected = mem_logits.copy()
+        u, inv = np.unique(np.asarray(n_classes), return_inverse=True)
+        for indx, val in enumerate(u):
+            item = inv[indx]  # the reference's returned_indices[indx]
+            if val < n_cur:
+                expected[item, ..., val:] = sem[item, ..., val:]
+        expected[..., 0] = sem[..., 0]  # ignore_rep_bg
+        exp_dark = np.mean((expected - sem) ** 2)
+
+        method = create_method("loss.BACSLoss", transplant_mode="reference")
+        ctx = SimpleNamespace(n_cur=n_cur)
+        mem = {
+            "logits": jnp.asarray(mem_logits),
+            "n_classes": jnp.asarray(n_classes, jnp.int32),
+        }
+        dark = method._dark_from_sem(ctx, jnp.asarray(sem), mem)
+        np.testing.assert_allclose(float(dark), exp_dark, rtol=1e-5)
+
+
+def test_merged_replay_forward_matches_two_forwards(monkeypatch):
+    """loss.merged_replay runs α+β through one concatenated forward; with
+    both legs sampling the SAME slots the merged batch is a duplication, so
+    its BN batch statistics equal each half's and the loss must match the
+    two-forward parity path to float tolerance."""
+    import bacs_tpu.data.transforms as transforms_mod
+    import bacs_tpu.methods.bacs as bacs_mod
+    from bacs_tpu.methods import create_method
+    from bacs_tpu.methods.base import ModelContext
+    from bacs_tpu.models import create_network
+    from bacs_tpu.train.state import TrainState
+
+    n_classes, crop, B = 5, 16, 2
+    net = create_network("unet", num_classes=n_classes, axis_name=None,
+                         num_layers=3, crop_size=crop)
+    x = jnp.zeros((B, crop, crop, 3))
+    variables = net.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=True,
+    )
+    task = TaskInfo(task_id=1, initial_classes=3, increment=1,
+                    num_classes=n_classes, n_tasks=3, max_epochs=1)
+    ctx = ModelContext(model=net, task=task, axis_name=None)
+    rs = np.random.RandomState(7)
+    mem = {
+        "images": jnp.asarray(rs.rand(B, crop, crop, 3).astype(np.float32)),
+        "logits": jnp.asarray(rs.rand(B, crop, crop, n_classes).astype(np.float32)),
+        "labels": jnp.asarray(rs.randint(0, 3, (B, crop, crop)).astype(np.int32)),
+        "n_classes": jnp.full((B,), 3, jnp.int32),
+        "indices": jnp.arange(B),
+    }
+    monkeypatch.setattr(bacs_mod.buffer_lib, "sample",
+                        lambda buf, rng, n, task_id=None: mem)
+    monkeypatch.setattr(bacs_mod, "random_autocontrast",
+                        lambda rng, im, p=0.5: im)
+    monkeypatch.setattr(transforms_mod, "replay_augment",
+                        lambda rng, im, lab: (im, lab))
+
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}), opt_state=None,
+        rng=jax.random.PRNGKey(3),
+        prototypes=jnp.zeros((3, 128)), proto_counts=jnp.zeros((3,)),
+        buffer="sentinel",
+    )
+    losses = {}
+    for merged in (False, True):
+        m = create_method("loss.BACSLoss", alpha=0.7, beta=0.3,
+                          merged_replay=merged)
+        loss, _, _ = m._replay_der_loss(
+            ctx, state.params, state, state.batch_stats,
+            jax.random.PRNGKey(11), {},
+        )
+        losses[merged] = float(loss)
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)

@@ -1,0 +1,39 @@
+"""Opt-in CL learning-effect test: the qualitative method ordering of
+docs/RESULTS.md's 3-task protocol must hold (VERDICT r2 next #4 — e2e
+previously proved "runs", not "learns").
+
+Deselected by default (pytest.ini `-m "not slow"`); run with:
+
+    python -m pytest tests/test_protocol_ordering.py -m slow -q
+
+~10 min CPU: three full 3-task continual runs (CE fine-tuning, MiB, BACS)
+through scripts/protocol_compare.py's seeded protocol.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+pytestmark = pytest.mark.slow
+
+
+def test_cl_methods_beat_finetuning_on_oldest_task():
+    from scripts.protocol_compare import PROTOCOLS, run_method
+
+    p = PROTOCOLS["3task"]
+    results = {m: run_method(p, m, seed=42) for m in ("ce", "mib", "bacs")}
+    ce_old = results["ce"]["oldest_task_miou"]
+    assert ce_old < 0.35, f"fine-tuning unexpectedly retains {ce_old}"
+    # the RESULTS.md qualitative ordering: CL methods retain the oldest task
+    # at > 3x plain fine-tuning
+    for m in ("mib", "bacs"):
+        old = results[m]["oldest_task_miou"]
+        assert old > 3 * ce_old, (
+            f"{m} oldest-task mIoU {old} vs CE {ce_old}: retention collapsed"
+        )
+        assert results[m]["final_miou"] > results["ce"]["final_miou"]
