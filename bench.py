@@ -3,6 +3,10 @@
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
+`--network transeg` benchmarks the transformer head instead (TranSeg,
+reference: networks/transeg.py:85-175 — RN101 backbone + 2-layer decoder
+over 32×32=1024 tokens + class-token mask head).
+
 Baseline (BASELINE.md): the reference trains BACS on 2× GPU with PL fp16 at
 batch 12, 512².  The driver-set north star is ≥2× A100 images/sec/chip; we
 report measured TPU throughput with vs_baseline = value / A100_REF where
@@ -33,7 +37,7 @@ A100_REF_IMG_PER_SEC = 45.0
 A100_REF_BRACKET = (40.0, 55.0)
 
 
-def bench(smoke: bool = False):
+def bench(smoke: bool = False, network: str = "deeplab"):
     from bacs_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -50,15 +54,30 @@ def bench(smoke: bool = False):
         crop, batch, backbone, steps, dtype = 512, 16, "resnet101", 20, jnp.bfloat16
 
     n_classes = 21
-    net = create_network(
-        "deeplab",
-        backbone=backbone,
-        num_classes=n_classes,
-        norm="iabn_sync",
-        axis_name=None,
-        crop_size=crop,
-        dtype=dtype,
-    )
+    if network == "transeg":
+        # the production transformer config
+        # (conf/bacs/network/deep_lab_transformer.yaml)
+        net = create_network(
+            "transeg",
+            backbone=backbone,
+            num_classes=n_classes,
+            norm="iabn_sync",
+            axis_name=None,
+            crop_size=crop,
+            dtype=dtype,
+            transformer=dict(hidden_dim=256, nhead=2, num_decoder_layers=2,
+                             dim_feedforward=2048),
+        )
+    else:
+        net = create_network(
+            "deeplab",
+            backbone=backbone,
+            num_classes=n_classes,
+            norm="iabn_sync",
+            axis_name=None,
+            crop_size=crop,
+            dtype=dtype,
+        )
     task = TaskInfo(
         task_id=0, initial_classes=n_classes, increment=0,
         num_classes=n_classes, n_tasks=1, max_epochs=1,
@@ -102,10 +121,13 @@ def bench(smoke: bool = False):
     float(metrics["loss"])  # host transfer = real sync
     dt = time.perf_counter() - t0
     img_per_sec = steps * batch / dt
+    name = ("transeg_rn101_train_images_per_sec_per_chip_512"
+            if network == "transeg"
+            else "deeplabv3_rn101_train_images_per_sec_per_chip_512")
     print(
         json.dumps(
             {
-                "metric": "deeplabv3_rn101_train_images_per_sec_per_chip_512",
+                "metric": name,
                 "value": round(img_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(img_per_sec / A100_REF_IMG_PER_SEC, 3),
@@ -115,4 +137,9 @@ def bench(smoke: bool = False):
 
 
 if __name__ == "__main__":
-    bench(smoke="--smoke" in sys.argv)
+    bench(
+        smoke="--smoke" in sys.argv,
+        network="transeg" if "--network" in sys.argv
+        and sys.argv[sys.argv.index("--network") + 1] == "transeg"
+        else "deeplab",
+    )

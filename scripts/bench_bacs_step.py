@@ -99,8 +99,12 @@ def main(smoke: bool = False, bg_weighted: bool = True, replay: bool = True,
     train_step, _, _ = make_steps(ctx, method, tx, n_classes, mesh=None)
     batch_dict = {"image": x, "label": y}
 
+    import time as _t
+    print(f"# compiling...", flush=True)
+    _c0 = _t.perf_counter()
     state, metrics = train_step(state, batch_dict)
     float(metrics["loss"])  # sync through the tunnel
+    print(f"# first step (compile) {_t.perf_counter()-_c0:.1f}s", flush=True)
     state, metrics = train_step(state, batch_dict)
     float(metrics["loss"])
     t0 = time.perf_counter()
