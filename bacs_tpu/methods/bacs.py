@@ -260,20 +260,25 @@ class BACSMethod(ExperienceReplayMethod):
             return jnp.mean(1.0 - cos)
         return jnp.mean(jnp.square(mem_logits - sem))
 
+    def _old_class_weights(self, ctx):
+        """β-term class weights: 1 for old foreground classes, bg excluded
+        when ignore_rep_bg (reference: bacs_loss.py:342-360). Shared by the
+        two-forward parity path and the merged-replay path."""
+        cls_idx = jnp.arange(ctx.n_cur)
+        start = 1 if self.ignore_rep_bg else 0
+        return (
+            (cls_idx >= start) & (cls_idx < ctx.task.old_classes)
+        ).astype(jnp.float32)
+
     def _dark_pp(self, ctx, params, state, batch_stats, rng, updates):
         """β term (reference: bacs_loss.py:342-385)."""
-        task = ctx.task
         if not self.dark_plus_plus:
             return 0.0, batch_stats, updates
         r_sample, r_fwd, r_mix = jax.random.split(rng, 3)
         mem = buffer_lib.sample(
             state.buffer, r_sample, self.replay_minibatch_size
         )
-        cls_idx = jnp.arange(ctx.n_cur)
-        start = 1 if self.ignore_rep_bg else 0
-        weights = (
-            (cls_idx >= start) & (cls_idx < task.old_classes)
-        ).astype(jnp.float32)
+        weights = self._old_class_weights(ctx)
         if self.mixup:
             return self._dark_pp_mixup(
                 ctx, params, state, batch_stats, r_fwd, r_mix, mem, weights,
@@ -363,9 +368,7 @@ class BACSMethod(ExperienceReplayMethod):
         activations differ slightly from the two-forward parity path —
         off by default; measured in scripts/bench_bacs_step.py --merged."""
         from bacs_tpu.data.transforms import replay_augment
-        from bacs_tpu.ops.losses import cross_entropy
 
-        task = ctx.task
         r_alpha, r_beta = jax.random.split(rng)
         rs_a, r_aug_a, r_fwd = jax.random.split(r_alpha, 3)
         mem_dl = buffer_lib.sample(
@@ -387,30 +390,14 @@ class BACSMethod(ExperienceReplayMethod):
         sem = out.sem_logits[..., : ctx.n_cur]
         dark = self._dark_from_sem(ctx, sem[:nb], mem_dl)
 
-        cls_idx = jnp.arange(ctx.n_cur)
-        start = 1 if self.ignore_rep_bg else 0
-        weights = (
-            (cls_idx >= start) & (cls_idx < task.old_classes)
-        ).astype(jnp.float32)
+        weights = self._old_class_weights(ctx)
         sem_pp = sem[nb:]
-        if (
-            sem_pp.shape[1] < labs_pp.shape[1]
-            and ctx.fused_ce
-            and ctx.spatial_mesh is None
-        ):
-            from bacs_tpu.ops.upsample_ce import (
-                upsampled_weighted_cross_entropy,
-            )
-
-            pp = upsampled_weighted_cross_entropy(
-                sem_pp, labs_pp, weights, labs_pp.shape[1:3],
-                self.ignore_index,
-            )
-        else:
-            pp = cross_entropy(
-                out.logits[nb:, ..., : ctx.n_cur], labs_pp,
-                self.ignore_index, class_weights=weights,
-            )
+        # β CE rides the SAME fused-kernel gate as the parity path
+        # (BaseLoss._fused_gate / ce_with_upsample — incl. the spatial
+        # shard_map wrappers and their shape-divisibility fallback)
+        pp = self.ce_with_upsample(
+            ctx, sem_pp, out.logits[nb:, ..., : ctx.n_cur], labs_pp, weights
+        )
         # pp samples fold into the prototypes like the two-forward path
         # (base_loss.py:219-220); the dark-logits forward never does
         updates = self.prototype_updates(
@@ -486,18 +473,28 @@ class BACSMethod(ExperienceReplayMethod):
             sem = jnp.pad(sem, ((0, 0), (0, 0), (0, 0), (0, pad)))
             if self.use_bg_detector:
                 # the reference's seen-detector probe is a SECOND train-mode
-                # pass through the backbone per batch (_get_seen_detector →
-                # get_penultimate_output, bacs_loss.py:191,
-                # deeplab_v3.py:110-119): its backbone norms update twice per
-                # population batch.  Our single full forward already updated
-                # backbone+head+detector once; take the backbone subtree from
-                # a second forward to mirror the double update.  (The stored
-                # seen maps themselves are dead weight in the reference — the
-                # replay loaders never read them — so we don't store them.)
+                # pass through the model's penultimate path per batch
+                # (_get_seen_detector → get_penultimate_output,
+                # bacs_loss.py:191): those norms update twice per population
+                # batch.  Our single full forward already updated every
+                # subtree once; take the penultimate-path subtrees from a
+                # second forward to mirror the double update.  The path is
+                # model-specific (DeepLab/TranSeg: backbone; UNet: encoder)
+                # and declared by each network as `penultimate_stats_keys`
+                # — missing keys fail loudly rather than silently skipping
+                # the drift.  (The stored seen maps themselves are dead
+                # weight in the reference — the replay loaders never read
+                # them — so we don't store them.)
                 _, bs2 = ctx.forward(state.params, new_bs, image, True, r2)
-                if "backbone" in bs2:
-                    new_bs = dict(new_bs)
-                    new_bs["backbone"] = bs2["backbone"]
+                keys = ctx.model.penultimate_stats_keys
+                missing = [k for k in keys if k not in bs2]
+                assert not missing, (
+                    f"{type(ctx.model).__name__}.penultimate_stats_keys "
+                    f"{missing} absent from batch_stats {list(bs2)}"
+                )
+                new_bs = dict(new_bs)
+                for k in keys:
+                    new_bs[k] = bs2[k]
             buf = buffer_lib.add_batch(
                 state.buffer, r_buf, image, sem, labels, losses,
                 task_id=task.task_id, n_classes=ctx.n_cur,

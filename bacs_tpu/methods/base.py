@@ -250,6 +250,78 @@ class Method:
         updates["proto_counts"] = counts
         return updates
 
+    @staticmethod
+    def _fused_gate(ctx, sem, labels):
+        """THE fused upsample+CE kernel gate — the single decision point
+        for every CE variant (compute_base_loss and the merged-replay β
+        term): kernel when the head output is below label resolution,
+        spatial shard_map wrappers under GSPMD when the shapes divide the
+        mesh, XLA-composed fallback otherwise."""
+        use_fused_ce = sem.shape[1] < labels.shape[1] and ctx.fused_ce
+        spatial = ctx.spatial_mesh
+        if spatial is not None:
+            from bacs_tpu.ops.upsample_ce import spatial_shapes_ok
+
+            if not spatial_shapes_ok(
+                spatial, labels.shape[0], labels.shape[1], sem.shape[1]
+            ):
+                # shapes don't divide the mesh (e.g. a small replay
+                # minibatch): drop to the XLA-composed global path, which
+                # GSPMD partitions natively — identical math, just unfused
+                use_fused_ce = False
+                spatial = None
+        return use_fused_ce, spatial
+
+    def ce_with_upsample(self, ctx, sem, logits, labels, class_weights=None):
+        """Plain / class-weighted CE through the shared _fused_gate.
+
+        `sem` is the pre-upsample head output, `logits` the upsampled
+        full-res logits (only touched on the fallback path — on the kernel
+        paths the full-res logits never materialize; in the full train step
+        the XLA-composed resize+CE costs +66 ms of memory-pressure
+        scheduling vs ~4 ms for the kernel, measured 512² b16)."""
+        use_fused_ce, spatial = self._fused_gate(ctx, sem, labels)
+        if use_fused_ce and class_weights is None and spatial is not None:
+            from bacs_tpu.ops.upsample_ce import (
+                spatial_upsampled_cross_entropy,
+            )
+
+            return spatial_upsampled_cross_entropy(
+                sem, labels, labels.shape[1:3], spatial, self.ignore_index
+            )
+        if use_fused_ce and class_weights is None:
+            from bacs_tpu.ops.upsample_ce import upsampled_cross_entropy
+
+            return upsampled_cross_entropy(
+                sem, labels, labels.shape[1:3], self.ignore_index
+            )
+        if use_fused_ce and spatial is not None:
+            from bacs_tpu.ops.upsample_ce import (
+                spatial_upsampled_weighted_cross_entropy,
+            )
+
+            return spatial_upsampled_weighted_cross_entropy(
+                sem, labels, class_weights, labels.shape[1:3], spatial,
+                self.ignore_index,
+            )
+        if use_fused_ce:
+            # replay CE with per-class weights rides the same kernel
+            # (torch weighted-mean semantics)
+            from bacs_tpu.ops.upsample_ce import (
+                upsampled_weighted_cross_entropy,
+            )
+
+            return upsampled_weighted_cross_entropy(
+                sem, labels, class_weights, labels.shape[1:3],
+                self.ignore_index,
+            )
+        return cross_entropy(
+            logits,
+            labels,
+            ignore_index=self.ignore_index,
+            class_weights=class_weights,
+        )
+
     def compute_base_loss(
         self,
         ctx: ModelContext,
@@ -294,24 +366,12 @@ class Method:
                 protos, counts, out.penultimate, labels, task, ctx.axis_name
             )
         sem = out.sem_logits[..., : ctx.n_cur]
-        # fused upsample+CE kernels (ops/upsample_ce.py): all three loss
-        # variants below share this gate — the full-res logits never
-        # materialize when the head output is below label resolution.
+        # fused upsample+CE kernels (ops/upsample_ce.py): every CE variant
+        # below rides the ONE gate in _fused_gate — the full-res logits
+        # never materialize when the head output is below label resolution.
         # Under GSPMD spatial partitioning (ctx.spatial_mesh) the same
         # kernels run shard_map'ped per space-shard with halo exchange.
-        use_fused_ce = sem.shape[1] < labels.shape[1] and ctx.fused_ce
-        spatial = ctx.spatial_mesh
-        if spatial is not None:
-            from bacs_tpu.ops.upsample_ce import spatial_shapes_ok
-
-            if not spatial_shapes_ok(
-                spatial, labels.shape[0], labels.shape[1], sem.shape[1]
-            ):
-                # shapes don't divide the mesh (e.g. a small replay
-                # minibatch): drop to the XLA-composed global path, which
-                # GSPMD partitions natively — identical math, just unfused
-                use_fused_ce = False
-                spatial = None
+        use_fused_ce, spatial = self._fused_gate(ctx, sem, labels)
         if use_weighted_ce and train:
             seen_prob = jax.lax.stop_gradient(
                 ctx.seen_probs(params, bs, out.penultimate, protos)
@@ -363,51 +423,8 @@ class Method:
                     ignore_index=self.ignore_index,
                 )
         else:
-            if use_fused_ce and class_weights is None and spatial is not None:
-                from bacs_tpu.ops.upsample_ce import (
-                    spatial_upsampled_cross_entropy,
-                )
-
-                loss = spatial_upsampled_cross_entropy(
-                    sem, labels, labels.shape[1:3], spatial, self.ignore_index
-                )
-            elif use_fused_ce and class_weights is None:
-                # fused upsample+CE Pallas kernel (ops/upsample_ce.py) — the
-                # full-res logits never materialize.  In the full train step
-                # the XLA-composed resize+CE costs +66 ms (memory-pressure
-                # scheduling); the kernel costs ~4 ms (measured 512² b16).
-                from bacs_tpu.ops.upsample_ce import upsampled_cross_entropy
-
-                loss = upsampled_cross_entropy(
-                    sem, labels, labels.shape[1:3], self.ignore_index
-                )
-            elif use_fused_ce and spatial is not None:
-                from bacs_tpu.ops.upsample_ce import (
-                    spatial_upsampled_weighted_cross_entropy,
-                )
-
-                loss = spatial_upsampled_weighted_cross_entropy(
-                    sem, labels, class_weights, labels.shape[1:3], spatial,
-                    self.ignore_index,
-                )
-            elif use_fused_ce:
-                # replay CE with per-class weights rides the same kernel
-                # (torch weighted-mean semantics)
-                from bacs_tpu.ops.upsample_ce import (
-                    upsampled_weighted_cross_entropy,
-                )
-
-                loss = upsampled_weighted_cross_entropy(
-                    sem, labels, class_weights, labels.shape[1:3],
-                    self.ignore_index,
-                )
-            else:
-                loss = cross_entropy(
-                    logits,
-                    labels,
-                    ignore_index=self.ignore_index,
-                    class_weights=class_weights,
-                )
+            loss = self.ce_with_upsample(ctx, sem, logits, labels,
+                                         class_weights)
 
         # seen/fg detector training (reference: base_loss.py:192-199,241-250):
         # only on non-replay batches (unless same_task), gated on prototype

@@ -164,3 +164,10 @@ class DeepLabV3(nn.Module):
         if self.use_bg_detector:
             return out_ch // 4  # BgDetector trunk width (bg_detector.py)
         return out_ch
+
+    @property
+    def penultimate_stats_keys(self):
+        """batch_stats subtrees on the reference's `get_penultimate_output`
+        path (deeplab_v3.py:110-119: one backbone pass) — the stats that
+        drift TWICE per buffer-population batch (methods/bacs.py end_task)."""
+        return ("backbone",)

@@ -131,6 +131,12 @@ class TranSeg(nn.Module):
         out_ch = 2048
         return out_ch // 4 if self.use_bg_detector else out_ch
 
+    @property
+    def penultimate_stats_keys(self):
+        """Reference get_penultimate_output path (transeg.py:64-70: one
+        backbone pass) — see DeepLabV3.penultimate_stats_keys."""
+        return ("backbone",)
+
     def setup(self):
         self.backbone = create_resnet(
             self.backbone_name,

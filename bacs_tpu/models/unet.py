@@ -68,6 +68,15 @@ class UNet(nn.Module):
         return self.encoder_output_dim
 
     @property
+    def penultimate_stats_keys(self):
+        """Reference get_penultimate_output path (unet.py:121-130: the
+        encoder only — unlike DeepLab/TranSeg it does NOT apply the
+        detector trunk) — see DeepLabV3.penultimate_stats_keys."""
+        return ("inc",) + tuple(
+            f"down{i + 1}" for i in range(self.num_layers - 1)
+        )
+
+    @property
     def out_in_planes(self) -> int:
         return 64 // 2 if self.bilinear else 64
 

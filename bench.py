@@ -19,7 +19,6 @@ Usage: python bench.py [--smoke]   (--smoke: tiny shapes, CPU-safe)
 from __future__ import annotations
 
 import json
-import sys
 import time
 
 import jax
@@ -137,9 +136,12 @@ def bench(smoke: bool = False, network: str = "deeplab"):
 
 
 if __name__ == "__main__":
-    bench(
-        smoke="--smoke" in sys.argv,
-        network="transeg" if "--network" in sys.argv
-        and sys.argv[sys.argv.index("--network") + 1] == "transeg"
-        else "deeplab",
-    )
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny CPU-safe shapes, 3 steps")
+    ap.add_argument("--network", choices=("deeplab", "transeg"),
+                    default="deeplab")
+    args = ap.parse_args()
+    bench(smoke=args.smoke, network=args.network)

@@ -25,18 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def voc_palette() -> list[int]:
-    """The VOC label palette (bit-twiddle colormap, viz/media.py)."""
-    pal = []
-    for i in range(256):
-        r = g = b = 0
-        c = i
-        for j in range(8):
-            r |= ((c >> 0) & 1) << (7 - j)
-            g |= ((c >> 1) & 1) << (7 - j)
-            b |= ((c >> 2) & 1) << (7 - j)
-            c >>= 3
-        pal += [r, g, b]
-    return pal
+    """The VOC label palette, flattened for PIL putpalette (the one
+    bit-twiddle colormap lives in bacs_tpu.viz.media.voc_colormap)."""
+    from bacs_tpu.viz.media import voc_colormap
+
+    return voc_colormap().flatten().tolist()
 
 
 def generate(
