@@ -197,3 +197,43 @@ def test_merged_replay_forward_matches_two_forwards(monkeypatch):
         )
         losses[merged] = float(loss)
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
+
+
+def test_penultimate_stats_keys_present_in_batch_stats():
+    """end_task's bg-detector double-drift mirror (methods/bacs.py) indexes
+    batch_stats by each model's `penultimate_stats_keys` — the declared keys
+    must exist for every family or the loud assert there would kill a real
+    run at the first task boundary."""
+    from bacs_tpu.models import create_network
+
+    crop = 32
+    nets = {
+        "deeplab": create_network(
+            "deeplab", num_classes=4, norm="abn", axis_name=None,
+            backbone="resnet18", crop_size=crop, use_bg_detector=True,
+        ),
+        "transeg": create_network(
+            "transeg", num_classes=4, norm="abn", axis_name=None,
+            backbone="resnet18", crop_size=crop, use_bg_detector=True,
+            transformer={"hidden_dim": 32, "dim_feedforward": 64,
+                         "nhead": 2, "num_decoder_layers": 1},
+        ),
+        "unet": create_network(
+            "unet", num_classes=4, norm="abn", axis_name=None,
+            num_layers=3, crop_size=crop, use_bg_detector=True,
+        ),
+    }
+    x = jnp.zeros((1, crop, crop, 3))
+    for name, net in nets.items():
+        variables = net.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            x, train=True,
+        )
+        bs = variables.get("batch_stats", {})
+        keys = net.penultimate_stats_keys
+        assert keys, f"{name}: empty penultimate_stats_keys"
+        missing = [k for k in keys if k not in bs]
+        assert not missing, (
+            f"{name}: {missing} not in batch_stats {sorted(bs)}"
+        )
