@@ -36,7 +36,10 @@ from bacs_tpu.data.datasets import (
 
 
 def _prefetch(iterator, depth: int = 2):
-    """Run `iterator` in a daemon thread, keeping `depth` items ready."""
+    """Run `iterator` in a daemon thread, keeping `depth` items ready.
+
+    Worker exceptions re-raise at the consumer (a failed decode must not
+    silently truncate the epoch)."""
     import queue
     import threading
 
@@ -47,14 +50,17 @@ def _prefetch(iterator, depth: int = 2):
         try:
             for item in iterator:
                 q.put(item)
-        finally:
             q.put(sentinel)
+        except BaseException as e:  # noqa: BLE001 — relayed to consumer
+            q.put(e)
 
     threading.Thread(target=worker, daemon=True).start()
     while True:
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 
@@ -236,6 +242,11 @@ class DataModule:
             ).astype(np.int32)
         )
         key = jax.random.PRNGKey(rng.randint(2**31))
+        # NOTE: decode and transform/transfer run SERIALLY in this one
+        # generator on purpose — splitting decode into its own second
+        # prefetch thread was measured at 20.4 img/s vs 45.7 img/s for this
+        # single-stage form (scripts/bench_input.py, 1-core host): three
+        # Python threads on one core thrash where two pipeline cleanly.
         for s in range(n_steps):
             batch_idx = perm[s * global_batch : (s + 1) * global_batch]
             imgs, lbls = self._gather(self.train_source, batch_idx)

@@ -115,3 +115,20 @@ def test_normalize_denormalize_roundtrip():
     x = transforms.normalize_image(jnp.asarray(img))
     back = transforms.denormalize_image(x)
     np.testing.assert_allclose(np.asarray(back), img, atol=1)
+
+
+def test_prefetch_relays_worker_exceptions():
+    """A decode failure in the prefetch thread must raise at the consumer,
+    not silently truncate the epoch (data/datamodule.py _prefetch)."""
+    import pytest
+
+    from bacs_tpu.data.datamodule import _prefetch
+
+    def gen():
+        yield 1
+        raise RuntimeError("decode failed")
+
+    it = _prefetch(gen(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="decode failed"):
+        next(it)
