@@ -39,29 +39,45 @@ def _prefetch(iterator, depth: int = 2):
     """Run `iterator` in a daemon thread, keeping `depth` items ready.
 
     Worker exceptions re-raise at the consumer (a failed decode must not
-    silently truncate the epoch)."""
+    silently truncate the epoch).  Abandoning the generator early (break /
+    exception in the consumer) sets `stop`, so the worker exits instead of
+    blocking forever on a full queue holding decoded batches."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
-            q.put(sentinel)
+                if not put(item):
+                    return
+            put(sentinel)
         except BaseException as e:  # noqa: BLE001 — relayed to consumer
-            q.put(e)
+            put(e)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 class DataModule:

@@ -371,8 +371,8 @@ class Method:
         # never materialize when the head output is below label resolution.
         # Under GSPMD spatial partitioning (ctx.spatial_mesh) the same
         # kernels run shard_map'ped per space-shard with halo exchange.
-        use_fused_ce, spatial = self._fused_gate(ctx, sem, labels)
         if use_weighted_ce and train:
+            use_fused_ce, spatial = self._fused_gate(ctx, sem, labels)
             seen_prob = jax.lax.stop_gradient(
                 ctx.seen_probs(params, bs, out.penultimate, protos)
             )

@@ -167,7 +167,13 @@ class DeepLabV3(nn.Module):
 
     @property
     def penultimate_stats_keys(self):
-        """batch_stats subtrees on the reference's `get_penultimate_output`
-        path (deeplab_v3.py:110-119: one backbone pass) — the stats that
-        drift TWICE per buffer-population batch (methods/bacs.py end_task)."""
+        """batch_stats subtrees that drift TWICE per buffer-population
+        batch in the reference (methods/bacs.py end_task mirrors this) =
+        the probe path (get_penultimate_output, deeplab_v3.py:110-119:
+        backbone + detector trunk) INTERSECTED with the plain population
+        forward (bacs_loss.py:182 `model(images)`: backbone + head, NO
+        trunk).  The trunk BN (bg_detector.py:57-62) drifts exactly ONCE —
+        via the probe there, via our full forward here — so it must NOT be
+        double-copied (pinned by
+        test_boundary_parity.test_detector_double_drift_stats_parity)."""
         return ("backbone",)

@@ -133,8 +133,9 @@ class TranSeg(nn.Module):
 
     @property
     def penultimate_stats_keys(self):
-        """Reference get_penultimate_output path (transeg.py:64-70: one
-        backbone pass) — see DeepLabV3.penultimate_stats_keys."""
+        """Subtrees that double-drift per population batch — backbone only:
+        the trunk runs once (probe, transeg.py:66-70) in the reference and
+        once (full forward) here.  See DeepLabV3.penultimate_stats_keys."""
         return ("backbone",)
 
     def setup(self):

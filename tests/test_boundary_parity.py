@@ -622,3 +622,165 @@ def test_post_boundary_step_parity(boundary_pair, monkeypatch):
     )[0, 0].T  # [C, D]
     denom = np.mean(np.abs(head_delta_t)) + 1e-12
     assert np.mean(np.abs(head_delta_j - head_delta_t)) / denom < 5e-2
+
+
+def test_detector_double_drift_stats_parity(tmp_path):
+    """Buffer population with the bg-detector ON: the reference runs TWO
+    train-mode passes over the penultimate path per batch — the full
+    forward (bacs_loss.py:182) and the `_get_seen_detector` probe
+    (bacs_loss.py:191 → get_penultimate_output, deeplab_v3.py:116-118,
+    which also runs the detector trunk's BatchNorm,
+    bg_detector.py:57-62).  Backbone AND trunk running stats drift twice
+    per batch; head/ASPP stats once.  Our `end_task` mirrors this via
+    `penultimate_stats_keys` — this is the only test where that mirror
+    actually executes against the reference (the detector-less fixture
+    above never reaches the probe)."""
+    from types import SimpleNamespace
+
+    from bacs_tpu.methods import create_method
+    from bacs_tpu.methods.base import ModelContext
+    from bacs_tpu.models import create_network
+    from bacs_tpu.train.state import TaskInfo, TrainState
+    from bacs_tpu.utils.torch_weights import convert_reference_deeplab
+
+    networks = load_reference_networks()
+    L = load_reference_loss()
+    load_reference_buffer()  # np.Inf shim
+    tnn = torch.nn
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)  # DatasetMap memmap target
+    try:
+        torch.manual_seed(5)
+        ref = networks.DeepLabV3(norm="abn", pretrained_backbone=False)
+        ref.classifier_head = tnn.ModuleList(
+            [ref.get_classification_head(C0)]
+        )
+        ref.seen_fg_network = ref.get_seen_not_seen_head()
+        ref.seen_fg_network.seen_not_seen_clf = tnn.ModuleList(
+            [ref.seen_fg_network.get_classification_head(1) for _ in range(2)]
+        )
+        _randomize_norms(ref)
+
+        net = create_network(
+            "deeplab", num_classes=TOTAL, n_tasks=2, use_bg_detector=True,
+            norm="abn", axis_name=None,
+        )
+        x0 = np.random.RandomState(13).rand(2, CROP, CROP, 3).astype(
+            np.float32
+        )
+        variables = net.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            jnp.asarray(x0), train=False,
+        )
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params, stats, loaded = convert_reference_deeplab(sd, variables)
+        expected = len(
+            [k for k in sd if not k.endswith("num_batches_tracked")]
+        )
+        assert loaded == expected, f"only {loaded}/{expected} converted"
+
+        rs = np.random.RandomState(29)
+        xs = rs.rand(POP_NB * POP_B, CROP, CROP, 3).astype(np.float32)
+        ys = rs.randint(0, C0, (POP_NB * POP_B, CROP, CROP)).astype(np.int64)
+
+        # ---- reference: REAL on_train_end with the detector probe live ----
+        bacs = L.BACSLoss(
+            alpha=0.8, beta=0.2, bg_weighted_ce=False, lkd=0.0,
+            buffer_size=BUF_M,
+        )
+        bacs.nb_current_classes = C0
+        bacs.nb_new_classes = C0
+        bacs.old_classes = 0
+        bacs.initial_classes = C0
+        bacs.increment = NEW
+        bacs.device = torch.device("cpu")
+        bacs.epoch_number = 0
+        bacs.max_epochs = 30
+        pen_dim = 512  # 2048 // 4 detector trunk width
+        torch.manual_seed(17)
+        bacs._prototypes = SimpleNamespace(
+            _prototypes_tensors=[torch.randn(pen_dim) for _ in range(2)],
+            on_train_end=lambda **kw: None,
+        )
+
+        ref_t = copy.deepcopy(ref)
+        ref_t.train()
+        dl = torch.utils.data.DataLoader(
+            _PopDataset(xs, ys), batch_size=POP_B, shuffle=False
+        )
+        dl.shuffle = False
+        acc = SimpleNamespace(
+            root_device=torch.device("cpu"),
+            to_device=lambda b: b,
+            process_dataloader=lambda d: d,
+        )
+        tr = SimpleNamespace(
+            datamodule=SimpleNamespace(_sweep=False, debug=False)
+        )
+        with torch.no_grad():
+            bacs.on_train_end(
+                pre_last_tasks=True, model=ref_t, train_dataloader=dl,
+                accelerator=acc, trainer=tr,
+            )
+
+        # ---- ours: end_task with use_bg_detector=True ----
+        method = create_method(
+            "loss.BACSLoss", alpha=0.8, beta=0.2, bg_weighted_ce=False,
+            lkd=0.0, buffer_size=BUF_M, use_bg_detector=True,
+            buffer_dtype="float32",
+        )
+        task0 = TaskInfo(
+            task_id=0, initial_classes=C0, increment=NEW, num_classes=TOTAL,
+            n_tasks=2, max_epochs=30,
+        )
+        ctx0 = ModelContext(model=net, task=task0, axis_name=None)
+        out_probe = net.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(xs[:1]), train=False,
+        )
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=stats,
+            opt_state=None,
+            rng=jax.random.PRNGKey(7),
+            prototypes=jnp.zeros((2, out_probe.penultimate.shape[-1])),
+            proto_counts=jnp.zeros((2,)),
+            buffer=method.init_buffer(
+                task0, (CROP, CROP), tuple(out_probe.sem_logits.shape[1:3])
+            ),
+        )
+        data = [
+            {
+                "image": jnp.asarray(xs[b * POP_B : (b + 1) * POP_B]),
+                "label": jnp.asarray(
+                    ys[b * POP_B : (b + 1) * POP_B].astype(np.int32)
+                ),
+            }
+            for b in range(POP_NB)
+        ]
+        state_after = method.end_task(state, ctx0, data)
+
+        # ---- drifted stats trees must match, trunk included ----
+        _, s_post = convert_reference_deeplab(
+            {k: v.detach().numpy() for k, v in ref_t.state_dict().items()},
+            variables,
+        )[0:2]
+        post_ref = _leaf_paths(s_post)
+        post_ours = _leaf_paths(state_after.batch_stats)
+        before_all = _leaf_paths(stats)
+        # the probe really drifted the detector trunk on the ref side
+        trunk_moved = [
+            k for k, v in post_ref.items()
+            if "seen_fg_network" in k and not np.allclose(v, before_all[k])
+        ]
+        assert trunk_moved, "reference probe did not touch the trunk BN"
+        mismatched = []
+        for k, v in post_ref.items():
+            scale = np.mean(np.abs(v)) + 1e-3
+            if np.mean(np.abs(post_ours[k] - v)) / scale >= 5e-2:
+                mismatched.append(k)
+        assert not mismatched, f"stats diverged after population: {mismatched}"
+    finally:
+        os.chdir(cwd)

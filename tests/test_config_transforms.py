@@ -132,3 +132,30 @@ def test_prefetch_relays_worker_exceptions():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="decode failed"):
         next(it)
+
+
+def test_prefetch_worker_exits_when_consumer_abandons():
+    """Breaking out of an epoch early must release the prefetch worker
+    (no thread parked forever on a full queue holding decoded batches)."""
+    import threading
+    import time
+
+    from bacs_tpu.data.datamodule import _prefetch
+
+    produced = []
+
+    def gen():
+        for i in range(100):
+            produced.append(i)
+            yield i
+
+    before = threading.active_count()
+    it = _prefetch(gen(), depth=2)
+    assert next(it) == 0
+    it.close()  # consumer abandons mid-epoch
+    for _ in range(50):  # worker polls stop at 0.1 s
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.1)
+    assert threading.active_count() <= before, "prefetch worker leaked"
+    assert len(produced) < 100, "worker ran the whole epoch after abandon"
