@@ -36,7 +36,8 @@ A100_REF_IMG_PER_SEC = 45.0
 A100_REF_BRACKET = (40.0, 55.0)
 
 
-def bench(smoke: bool = False, network: str = "deeplab"):
+def bench(smoke: bool = False, network: str = "deeplab",
+          remat: bool = False):
     from bacs_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -76,6 +77,7 @@ def bench(smoke: bool = False, network: str = "deeplab"):
             axis_name=None,
             crop_size=crop,
             dtype=dtype,
+            remat=remat,
         )
     task = TaskInfo(
         task_id=0, initial_classes=n_classes, increment=0,
@@ -123,6 +125,8 @@ def bench(smoke: bool = False, network: str = "deeplab"):
     name = ("transeg_rn101_train_images_per_sec_per_chip_512"
             if network == "transeg"
             else "deeplabv3_rn101_train_images_per_sec_per_chip_512")
+    if remat:
+        name += "_remat"
     print(
         json.dumps(
             {
@@ -143,5 +147,8 @@ if __name__ == "__main__":
                     help="tiny CPU-safe shapes, 3 steps")
     ap.add_argument("--network", choices=("deeplab", "transeg"),
                     default="deeplab")
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint over ResNet blocks "
+                         "(training.network.remat)")
     args = ap.parse_args()
-    bench(smoke=args.smoke, network=args.network)
+    bench(smoke=args.smoke, network=args.network, remat=args.remat)

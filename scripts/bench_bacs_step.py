@@ -28,7 +28,7 @@ enable_compilation_cache()
 
 
 def main(smoke: bool = False, bg_weighted: bool = True, replay: bool = True,
-         merged: bool = False):
+         merged: bool = False, remat: bool = False):
     from bacs_tpu.methods import create_method
     from bacs_tpu.methods.base import ModelContext
     from bacs_tpu.models import create_network
@@ -46,7 +46,7 @@ def main(smoke: bool = False, bg_weighted: bool = True, replay: bool = True,
     net = create_network(
         "deeplab", backbone=backbone, num_classes=n_classes, n_tasks=n_tasks,
         use_bg_detector=True, norm="iabn_sync", axis_name=None,
-        crop_size=crop, dtype=dtype,
+        crop_size=crop, dtype=dtype, remat=remat,
     )
     task = TaskInfo(
         task_id=1, initial_classes=16, increment=1, num_classes=n_classes,
@@ -115,7 +115,8 @@ def main(smoke: bool = False, bg_weighted: bool = True, replay: bool = True,
     print(json.dumps({
         "metric": f"bacs_step_{backbone}_{crop}_b{batch}"
                   f"_w{int(bg_weighted)}_r{int(replay)}"
-                  + ("_merged" if merged else ""),
+                  + ("_merged" if merged else "")
+                  + ("_remat" if remat else ""),
         "step_ms": round(dt * 1e3, 1),
         "images_per_sec": round(batch / dt, 1),
     }))
@@ -127,4 +128,5 @@ if __name__ == "__main__":
         bg_weighted="--no-weighted" not in sys.argv,
         replay="--no-replay" not in sys.argv,
         merged="--merged" in sys.argv,
+        remat="--remat" in sys.argv,
     )

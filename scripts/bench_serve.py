@@ -49,26 +49,27 @@ def main(smoke: bool = False):
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         x0, train=False,
     )
-    pred = Predictor(
-        net_cfg, n_classes, variables["params"], variables["batch_stats"],
-        crop_size=crop,
-    )
-
     rng = np.random.RandomState(0)
-    for bs in batches:
-        imgs = rng.randint(0, 256, (bs, crop, crop, 3)).astype(np.uint8)
-        pred.predict(imgs)  # compile + warm
-        pred.predict(imgs)
-        reps = 30
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            preds, conf = pred.predict(imgs)  # includes host round-trip
-        dt = (time.perf_counter() - t0) / reps
-        print(json.dumps({
-            "metric": f"deeplabv3_{backbone}_serve_batch{bs}_{crop}",
-            "latency_ms": round(dt * 1e3, 2),
-            "images_per_sec": round(bs / dt, 1),
-        }))
+    for conf_dtype in ("float16", "uint8"):
+        pred = Predictor(
+            net_cfg, n_classes, variables["params"],
+            variables["batch_stats"], crop_size=crop, conf_dtype=conf_dtype,
+        )
+        for bs in batches:
+            imgs = rng.randint(0, 256, (bs, crop, crop, 3)).astype(np.uint8)
+            pred.predict(imgs)  # compile + warm
+            pred.predict(imgs)
+            reps = 30
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                preds, conf = pred.predict(imgs)  # incl. host round-trip
+            dt = (time.perf_counter() - t0) / reps
+            print(json.dumps({
+                "metric": f"deeplabv3_{backbone}_serve_batch{bs}_{crop}"
+                          f"_conf_{conf_dtype}",
+                "latency_ms": round(dt * 1e3, 2),
+                "images_per_sec": round(bs / dt, 1),
+            }))
 
 
 if __name__ == "__main__":

@@ -6,6 +6,9 @@ protocols were previously only described, not checked in):
     python scripts/protocol_compare.py --protocol 3task
     python scripts/protocol_compare.py --protocol 15-1
     python scripts/protocol_compare.py --protocol 3task --methods ce,mib,bacs
+    # flagship-model variant (DeepLabV3; crop must be divisible by 16):
+    python scripts/protocol_compare.py --protocol 15-1 --network deeplab \
+        --backbone resnet101 --crop 128 --methods ce,bacs
 
 Protocols (identical to the RESULTS.md setups):
 
@@ -57,18 +60,27 @@ PROTOCOLS = {
 }
 
 
-def run_method(protocol: dict, method: str, seed: int):
+def run_method(protocol: dict, method: str, seed: int,
+               network: str = "unet", backbone: str = "resnet50",
+               crop: int = 0):
     from bacs_tpu.config import load_config
     from bacs_tpu.train.loop import Trainer
 
     p = protocol
+    # --network deeplab swaps the protocol onto the flagship model
+    # (conf network group `deep_lab`); UNet's num_layers is replaced by
+    # the backbone choice and the crop must stay /16 for output stride.
+    net_overrides = (
+        [f"network.num_layers={p['layers']}"] if network == "unet"
+        else ["network=deep_lab", f"network.backbone={backbone}"]
+    )
     overrides = [
         f"loss={METHOD_LOSS[method]}",
         f"dataset.dataset.num_classes={p['n_classes']}",
-        f"dataset.dataset.crop_size={p['crop']}",
+        f"dataset.dataset.crop_size={crop or p['crop']}",
         f"dataset.dataset.n_train={p['n_train']}",
         f"dataset.dataset.n_val={p['n_val']}",
-        f"network.num_layers={p['layers']}",
+        *net_overrides,
         f"training.initial_increment={p['initial']}",
         f"training.increment={p['increment']}",
         f"training.epochs={p['epochs']}",
@@ -110,6 +122,11 @@ def main():
     ap.add_argument("--methods", default=None,
                     help="comma list (default: the protocol's full set)")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--network", choices=("unet", "deeplab"), default="unet")
+    ap.add_argument("--backbone", default="resnet50",
+                    help="DeepLab backbone (with --network deeplab)")
+    ap.add_argument("--crop", type=int, default=0,
+                    help="override the protocol's crop (deeplab needs /16)")
     args = ap.parse_args()
 
     from bacs_tpu.utils.cache import enable_compilation_cache
@@ -121,11 +138,13 @@ def main():
                else list(p["default_methods"]))
     results = []
     for m in methods:
-        r = run_method(p, m, args.seed)
+        r = run_method(p, m, args.seed, network=args.network,
+                       backbone=args.backbone, crop=args.crop)
         results.append(r)
         print(json.dumps(r))
 
-    print(f"\n## {args.protocol} protocol (seed {args.seed})\n")
+    tag = "" if args.network == "unet" else f", deeplab/{args.backbone}"
+    print(f"\n## {args.protocol} protocol (seed {args.seed}{tag})\n")
     print("| Method | final mIoU | oldest-task mIoU at end | "
           "Avg-IoU per dataset |")
     print("|--------|-----------:|------------------------:|---------|")

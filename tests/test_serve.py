@@ -51,6 +51,26 @@ def test_predict_from_checkpoint_and_export():
         assert len(masks) == 1
         assert os.path.exists(os.path.join(out_dir, "x_mask.png"))
 
+        # uint8-quantized confidence payload (serving is device→host
+        # bandwidth-bound; this halves the conf bytes): same masks,
+        # confidence within one quantization step of the f16 path
+        q = Predictor(
+            dict(cfg.get("network", {})), predictor.num_classes,
+            predictor.variables["params"],
+            predictor.variables["batch_stats"],
+            crop_size=predictor.crop_size,
+            active_classes=predictor.active_classes,
+            conf_dtype="uint8",
+        )
+        preds_q, conf_q = q.predict(imgs)
+        np.testing.assert_array_equal(preds_q, preds)
+        assert conf_q.dtype == np.uint8
+        np.testing.assert_allclose(
+            conf_q.astype(np.float32) / 255.0,
+            conf.astype(np.float32),
+            atol=1.0 / 255.0 + 1e-3,
+        )
+
         # jax.export roundtrip
         export_path = os.path.join(d, "model.stablehlo")
         predictor.export(export_path, batch_size=2)
