@@ -49,6 +49,10 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ]
+        lib.unpack_bitplanes.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -94,6 +98,21 @@ def remap_labels(labels: np.ndarray, table: np.ndarray) -> np.ndarray:
         )
         return out
     return table[labels]
+
+
+def unpack_bitplanes(
+    packed: np.ndarray, n: int, bits: int, groups: int, w: int
+) -> Optional[np.ndarray]:
+    """Serving-wire-format unpack (ops/bitpack.py); None if no toolchain."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(packed, np.uint8)
+    out = np.empty((n, groups * 8, w), np.uint8)
+    lib.unpack_bitplanes(
+        packed.ctypes.data, n, bits, groups, w, out.ctypes.data
+    )
+    return out
 
 
 def resize_nearest_u8(src: np.ndarray, dh: int, dw: int) -> np.ndarray:

@@ -22,6 +22,7 @@ import numpy as np
 
 from bacs_tpu.data.transforms import normalize_image
 from bacs_tpu.models import create_network
+from bacs_tpu.ops.bitpack import bits_needed, pack_bits, unpack_bits
 from bacs_tpu.viz.media import voc_colormap
 
 
@@ -36,6 +37,7 @@ class Predictor:
         active_classes: Optional[int] = None,
         dtype=jnp.bfloat16,
         conf_dtype: str = "float16",
+        pack_masks: bool = False,
     ):
         target = network_cfg.get("_target_", "networks.DeepLabV3")
         self.crop_size = crop_size
@@ -61,9 +63,15 @@ class Predictor:
         # uint8 mask payload: class ids must fit, and 255 stays reserved
         # for the ignore convention
         assert n_active <= 255, "uint8 mask payload needs <= 255 classes"
-        if conf_dtype not in ("float16", "uint8"):
-            raise ValueError("conf_dtype must be 'float16' or 'uint8'")
+        if conf_dtype not in ("float16", "uint8", "none"):
+            raise ValueError("conf_dtype must be 'float16', 'uint8' or 'none'")
         self.conf_dtype = conf_dtype
+        # pack_masks: serving is link-bound, and class ids only need
+        # ceil(log2(n_active)) bits — pack them on DEVICE so the wire
+        # carries e.g. 5 bits/pixel for VOC-21 instead of 8
+        # (ops/bitpack.py; predict() unpacks transparently on host).
+        self.pack_masks = bool(pack_masks)
+        self.mask_bits = bits_needed(n_active) if pack_masks else 8
 
         def _infer(variables, images_u8):
             from bacs_tpu.ops.upsample_argmax import upsampled_argmax_conf
@@ -88,6 +96,10 @@ class Predictor:
                 conf = jnp.round(
                     conf.astype(jnp.float32) * 255.0
                 ).astype(jnp.uint8)
+            if self.pack_masks:
+                preds = pack_bits(preds, self.mask_bits)
+            if conf_dtype == "none":
+                return preds
             return preds, conf
 
         self._infer = jax.jit(_infer)
@@ -95,7 +107,7 @@ class Predictor:
     # ------------------------------------------------------------------
 
     @classmethod
-    def from_checkpoint(cls, ckpt_dir: str, config) -> "Predictor":
+    def from_checkpoint(cls, ckpt_dir: str, config, **kwargs) -> "Predictor":
         """Restore the newest task checkpoint saved by the Trainer."""
         from bacs_tpu.train.loop import Trainer
         from bacs_tpu.utils.checkpoint import latest_checkpoint, restore_checkpoint
@@ -122,14 +134,47 @@ class Predictor:
             state.batch_stats,
             crop_size=trainer.datamodule.crop_size,
             active_classes=task.nb_current_classes,
+            **kwargs,
         )
 
     # ------------------------------------------------------------------
 
     def predict(self, images: np.ndarray):
-        """images: uint8 [N, H, W, 3] at crop size → (preds [N,H,W], conf)."""
-        preds, conf = self._infer(self.variables, jnp.asarray(images))
-        return np.asarray(preds), np.asarray(conf)
+        """images: uint8 [N, H, W, 3] at crop size → (preds [N,H,W], conf).
+
+        conf is None with conf_dtype="none"; packed masks are unpacked
+        here so the wire format is invisible to callers.
+        """
+        out = self._infer(self.variables, jnp.asarray(images))
+        preds, conf = out if self.conf_dtype != "none" else (out, None)
+        preds = np.asarray(preds)
+        if self.pack_masks:
+            preds = unpack_bits(preds, images.shape[:3], self.mask_bits)
+        return preds, (None if conf is None else np.asarray(conf))
+
+    def predict_many(self, batches: Iterable[np.ndarray]):
+        """Pipelined prediction over an iterable of uint8 batches.
+
+        Dispatches batch i+1's device computation BEFORE materializing
+        batch i's results on host, so the ~23 ms forward hides under the
+        device→host transfer (which dominates tunneled serving). Yields
+        (preds, conf) per batch, same semantics as :meth:`predict`.
+        """
+        def _materialize(out, shape):
+            preds, conf = out if self.conf_dtype != "none" else (out, None)
+            preds = np.asarray(preds)
+            if self.pack_masks:
+                preds = unpack_bits(preds, shape, self.mask_bits)
+            return preds, (None if conf is None else np.asarray(conf))
+
+        pending = None  # (async device output, batch shape)
+        for images in batches:
+            out = self._infer(self.variables, jnp.asarray(images))
+            if pending is not None:
+                yield _materialize(*pending)
+            pending = (out, images.shape[:3])
+        if pending is not None:
+            yield _materialize(*pending)
 
     def predict_files(
         self, paths: Sequence[str], out_dir: Optional[str] = None,

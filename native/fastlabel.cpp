@@ -44,6 +44,36 @@ void class_histogram(const uint8_t* labels, int64_t size, int64_t* out256) {
     }
 }
 
+// Inverse of the serving wire format's device-side bit-pack
+// (bacs_tpu/ops/bitpack.py): packed [n, bits, groups, w] byte-planes,
+// where plane b's byte at (g, w) carries bit b of pixels (8g+k, w) in
+// bit k. Expands to class-id masks out [n, groups*8, w]. The numpy
+// fallback (np.unpackbits + ors) costs ~69 ms per 16x512x512 batch on a
+// 1-core host — this loop is cache-resident per group row and
+// auto-vectorizes.
+void unpack_bitplanes(const uint8_t* packed, int64_t n, int64_t bits,
+                      int64_t groups, int64_t w, uint8_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* p = packed + i * bits * groups * w;
+        uint8_t* o = out + i * groups * 8 * w;
+        for (int64_t g = 0; g < groups; ++g) {
+            for (int k = 0; k < 8; ++k) {
+                uint8_t* orow = o + (g * 8 + k) * w;
+                const uint8_t* prow0 = p + g * w;
+                for (int64_t x = 0; x < w; ++x) {
+                    orow[x] = (prow0[x] >> k) & 1u;
+                }
+                for (int64_t b = 1; b < bits; ++b) {
+                    const uint8_t* prow = p + (b * groups + g) * w;
+                    for (int64_t x = 0; x < w; ++x) {
+                        orow[x] |= ((prow[x] >> k) & 1u) << b;
+                    }
+                }
+            }
+        }
+    }
+}
+
 // uint8 nearest-neighbour resize of a label map (used to bring decoded
 // masks to the canonical host size without PIL round-trips).
 void resize_nearest_u8(const uint8_t* src, int64_t sh, int64_t sw,

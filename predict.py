@@ -21,6 +21,13 @@ def main(argv=None):
     parser.add_argument("--out", default="predictions")
     parser.add_argument("--export", default=None,
                         help="write a StableHLO export to this path")
+    parser.add_argument("--conf-dtype", default="float16",
+                        choices=("float16", "uint8", "none"),
+                        help="confidence wire format (uint8 = 1/255 "
+                             "quantized on device; none = masks only)")
+    parser.add_argument("--pack-masks", action="store_true",
+                        help="bit-pack mask payload to ceil(log2(classes)) "
+                             "bits/pixel on device (link-bound serving)")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
 
@@ -30,7 +37,10 @@ def main(argv=None):
 
     enable_compilation_cache()
     config = load_config(args.config_path, args.config_name, args.overrides)
-    predictor = Predictor.from_checkpoint(args.checkpoint, config)
+    predictor = Predictor.from_checkpoint(
+        args.checkpoint, config,
+        conf_dtype=args.conf_dtype, pack_masks=args.pack_masks,
+    )
     if args.export:
         path = predictor.export(args.export)
         print(f"exported inference fn to {path}")

@@ -50,10 +50,19 @@ def main(smoke: bool = False):
         x0, train=False,
     )
     rng = np.random.RandomState(0)
-    for conf_dtype in ("float16", "uint8"):
+    # wire formats, fattest to leanest: f16 conf (lossless default),
+    # 1/255-quantized conf, quantized conf + 5-bit packed masks, and
+    # packed masks alone (serving is device→host-link-bound, so payload
+    # bytes ARE latency — docs/RESULTS.md)
+    wire_formats = (
+        ("float16", False), ("uint8", False),
+        ("uint8", True), ("none", True),
+    )
+    for conf_dtype, pack in wire_formats:
         pred = Predictor(
             net_cfg, n_classes, variables["params"],
             variables["batch_stats"], crop_size=crop, conf_dtype=conf_dtype,
+            pack_masks=pack,
         )
         for bs in batches:
             imgs = rng.randint(0, 256, (bs, crop, crop, 3)).astype(np.uint8)
@@ -66,10 +75,25 @@ def main(smoke: bool = False):
             dt = (time.perf_counter() - t0) / reps
             print(json.dumps({
                 "metric": f"deeplabv3_{backbone}_serve_batch{bs}_{crop}"
-                          f"_conf_{conf_dtype}",
+                          f"_conf_{conf_dtype}" + ("_packed" if pack else ""),
                 "latency_ms": round(dt * 1e3, 2),
                 "images_per_sec": round(bs / dt, 1),
             }))
+            if bs > 1:
+                # pipelined streaming: device compute of batch i+1 hides
+                # under batch i's host transfer (Predictor.predict_many)
+                stream = [imgs] * reps
+                t0 = time.perf_counter()
+                for _ in pred.predict_many(stream):
+                    pass
+                dt = (time.perf_counter() - t0) / reps
+                print(json.dumps({
+                    "metric": f"deeplabv3_{backbone}_serve_stream{bs}_{crop}"
+                              f"_conf_{conf_dtype}"
+                              + ("_packed" if pack else ""),
+                    "latency_ms": round(dt * 1e3, 2),
+                    "images_per_sec": round(bs / dt, 1),
+                }))
 
 
 if __name__ == "__main__":

@@ -32,6 +32,18 @@ def test_resize_nearest_matches_fallback(rng):
     np.testing.assert_array_equal(fast, src[ys][:, xs])
 
 
+def test_unpack_bitplanes_matches_numpy_fallback(rng):
+    n, bits, groups, w = 2, 5, 3, 16
+    packed = rng.randint(0, 256, (n, bits, groups, w)).astype(np.uint8)
+    fast = native.unpack_bitplanes(packed, n, bits, groups, w)
+    assert fast is not None
+    plane_bits = np.unpackbits(packed, axis=2, bitorder="little")
+    ref = np.zeros((n, groups * 8, w), np.uint8)
+    for b in range(bits):
+        ref |= plane_bits[:, b] << b
+    np.testing.assert_array_equal(fast, ref)
+
+
 def test_class_sets_from_presence():
     presence = np.zeros((2, 256), bool)
     presence[0, [0, 3, 255]] = True

@@ -71,6 +71,37 @@ def test_predict_from_checkpoint_and_export():
             atol=1.0 / 255.0 + 1e-3,
         )
 
+        # minimal wire format: bit-packed masks (ceil(log2(n)) bits/px,
+        # unpacked transparently in predict) + no confidence payload
+        pk = Predictor(
+            dict(cfg.get("network", {})), predictor.num_classes,
+            predictor.variables["params"],
+            predictor.variables["batch_stats"],
+            crop_size=predictor.crop_size,
+            active_classes=predictor.active_classes,
+            conf_dtype="none",
+            pack_masks=True,
+        )
+        preds_p, conf_p = pk.predict(imgs)
+        assert conf_p is None
+        np.testing.assert_array_equal(preds_p, preds)
+
+        # pipelined streaming over several batches == per-batch predict,
+        # for both the packed and the default wire format
+        rs = np.random.RandomState(7)
+        stream = [
+            rs.randint(0, 256, imgs.shape).astype(np.uint8)
+            for _ in range(3)
+        ]
+        for p in (predictor, pk):
+            singles = [p.predict(b) for b in stream]
+            for (mp, cp), (ms, cs) in zip(p.predict_many(stream), singles):
+                np.testing.assert_array_equal(mp, ms)
+                if cs is None:
+                    assert cp is None
+                else:
+                    np.testing.assert_array_equal(cp, cs)
+
         # jax.export roundtrip
         export_path = os.path.join(d, "model.stablehlo")
         predictor.export(export_path, batch_size=2)
