@@ -53,44 +53,58 @@ def main(smoke: bool = False):
     # wire formats, fattest to leanest: f16 conf (lossless default),
     # 1/255-quantized conf, quantized conf + 5-bit packed masks, and
     # packed masks alone (serving is device→host-link-bound, so payload
-    # bytes ARE latency — docs/RESULTS.md)
+    # bytes ARE latency — docs/RESULTS.md).  The tunneled link's
+    # bandwidth drifts at ~minute timescales, so formats are measured
+    # ROUND-ROBIN within one rep loop — every format sees the same
+    # drift — instead of one sequential block per format.
     wire_formats = (
         ("float16", False), ("uint8", False),
         ("uint8", True), ("none", True),
     )
-    for conf_dtype, pack in wire_formats:
-        pred = Predictor(
+    preds_by_fmt = {
+        fmt: Predictor(
             net_cfg, n_classes, variables["params"],
-            variables["batch_stats"], crop_size=crop, conf_dtype=conf_dtype,
-            pack_masks=pack,
+            variables["batch_stats"], crop_size=crop, conf_dtype=fmt[0],
+            pack_masks=fmt[1],
         )
-        for bs in batches:
-            imgs = rng.randint(0, 256, (bs, crop, crop, 3)).astype(np.uint8)
-            pred.predict(imgs)  # compile + warm
+        for fmt in wire_formats
+    }
+    reps = 20
+    for bs in batches:
+        imgs = rng.randint(0, 256, (bs, crop, crop, 3)).astype(np.uint8)
+        stream = [imgs] * 4
+        for pred in preds_by_fmt.values():  # compile + warm everything
             pred.predict(imgs)
-            reps = 30
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                preds, conf = pred.predict(imgs)  # incl. host round-trip
-            dt = (time.perf_counter() - t0) / reps
-            print(json.dumps({
-                "metric": f"deeplabv3_{backbone}_serve_batch{bs}_{crop}"
-                          f"_conf_{conf_dtype}" + ("_packed" if pack else ""),
-                "latency_ms": round(dt * 1e3, 2),
-                "images_per_sec": round(bs / dt, 1),
-            }))
-            if bs > 1:
-                # pipelined streaming: device compute of batch i+1 hides
-                # under batch i's host transfer (Predictor.predict_many)
-                stream = [imgs] * reps
+            pred.predict(imgs)
+            for _ in pred.predict_many(stream):
+                pass
+        totals = {fmt: 0.0 for fmt in wire_formats}
+        stream_totals = {fmt: 0.0 for fmt in wire_formats}
+        for _ in range(reps):
+            for fmt, pred in preds_by_fmt.items():
                 t0 = time.perf_counter()
-                for _ in pred.predict_many(stream):
-                    pass
-                dt = (time.perf_counter() - t0) / reps
+                pred.predict(imgs)  # incl. host round-trip
+                totals[fmt] += time.perf_counter() - t0
+                if bs > 1:
+                    # pipelined streaming: batch i+1's device compute
+                    # hides under batch i's host transfer (predict_many)
+                    t0 = time.perf_counter()
+                    for _ in pred.predict_many(stream):
+                        pass
+                    stream_totals[fmt] += (time.perf_counter() - t0) / len(
+                        stream
+                    )
+        for fmt in wire_formats:
+            conf_dtype, pack = fmt
+            suffix = f"_conf_{conf_dtype}" + ("_packed" if pack else "")
+            rows = [("batch", totals[fmt])]
+            if bs > 1:
+                rows.append(("stream", stream_totals[fmt]))
+            for kind, total in rows:
+                dt = total / reps
                 print(json.dumps({
-                    "metric": f"deeplabv3_{backbone}_serve_stream{bs}_{crop}"
-                              f"_conf_{conf_dtype}"
-                              + ("_packed" if pack else ""),
+                    "metric": f"deeplabv3_{backbone}_serve_{kind}{bs}"
+                              f"_{crop}{suffix}",
                     "latency_ms": round(dt * 1e3, 2),
                     "images_per_sec": round(bs / dt, 1),
                 }))
