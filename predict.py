@@ -28,6 +28,9 @@ def main(argv=None):
     parser.add_argument("--pack-masks", action="store_true",
                         help="bit-pack mask payload to ceil(log2(classes)) "
                              "bits/pixel on device (link-bound serving)")
+    parser.add_argument("--n-devices", type=int, default=None,
+                        help="batch-shard the forward over this many chips "
+                             "(1-D data mesh; params replicated)")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
 
@@ -40,6 +43,7 @@ def main(argv=None):
     predictor = Predictor.from_checkpoint(
         args.checkpoint, config,
         conf_dtype=args.conf_dtype, pack_masks=args.pack_masks,
+        n_devices=args.n_devices,
     )
     if args.export:
         path = predictor.export(args.export)

@@ -102,6 +102,37 @@ def test_predict_from_checkpoint_and_export():
                 else:
                     np.testing.assert_array_equal(cp, cs)
 
+        # multi-chip serving: batch sharded over the virtual 8-device
+        # mesh must match the single-device forward exactly
+        mp = Predictor(
+            dict(cfg.get("network", {})), predictor.num_classes,
+            predictor.variables["params"],
+            predictor.variables["batch_stats"],
+            crop_size=predictor.crop_size,
+            active_classes=predictor.active_classes,
+            n_devices=8,
+        )
+        assert mp.n_devices == 8
+        imgs8 = np.repeat(imgs, 4, axis=0)  # batch 8, divisible by mesh
+        preds8, conf8 = mp.predict(imgs8)
+        preds1, conf1 = predictor.predict(imgs8)
+        np.testing.assert_array_equal(preds8, preds1)
+        np.testing.assert_array_equal(conf8, conf1)
+
+        # requesting more devices than exist downgrades loudly
+        import warnings as _warnings
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            Predictor(
+                dict(cfg.get("network", {})), predictor.num_classes,
+                predictor.variables["params"],
+                predictor.variables["batch_stats"],
+                crop_size=predictor.crop_size,
+                active_classes=predictor.active_classes,
+                n_devices=64,
+            )
+        assert any("64" in str(w.message) for w in caught)
+
         # jax.export roundtrip
         export_path = os.path.join(d, "model.stablehlo")
         predictor.export(export_path, batch_size=2)
