@@ -187,6 +187,11 @@ class Predictor:
         conf is None with conf_dtype="none"; packed masks are unpacked
         here so the wire format is invisible to callers.
         """
+        if images.shape[0] % self.n_devices:
+            raise ValueError(
+                f"batch {images.shape[0]} not divisible by the serving "
+                f"mesh's {self.n_devices} devices"
+            )
         out = self._infer(self.variables, jnp.asarray(images))
         preds, conf = out if self.conf_dtype != "none" else (out, None)
         preds = np.asarray(preds)

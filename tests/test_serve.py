@@ -133,6 +133,11 @@ def test_predict_from_checkpoint_and_export():
             )
         assert any("64" in str(w.message) for w in caught)
 
+        # non-divisible batches fail loudly on a serving mesh
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="not divisible"):
+            mp.predict(imgs[:1])
+
         # jax.export roundtrip
         export_path = os.path.join(d, "model.stablehlo")
         predictor.export(export_path, batch_size=2)
@@ -140,3 +145,14 @@ def test_predict_from_checkpoint_and_export():
             export_path, predictor.variables, imgs
         )
         np.testing.assert_array_equal(np.asarray(preds2), preds)
+
+        # exporting the lean wire format: consumers get the packed
+        # bytes; ops/bitpack.unpack_bits recovers the masks
+        from bacs_tpu.ops.bitpack import unpack_bits
+        packed_path = os.path.join(d, "model_packed.stablehlo")
+        pk.export(packed_path, batch_size=2)
+        packed_out = Predictor.run_exported(packed_path, pk.variables, imgs)
+        np.testing.assert_array_equal(
+            unpack_bits(np.asarray(packed_out), imgs.shape[:3], pk.mask_bits),
+            preds,
+        )
