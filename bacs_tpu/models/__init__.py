@@ -96,6 +96,7 @@ def create_network(
             n_tasks=n_tasks,
             use_bg_detector=use_bg_detector,
             axis_name=axis_name,
+            remat=bool(kwargs.get("remat", False)),
             dtype=dtype,
         )
     raise ValueError(f"unknown network {name!r}")

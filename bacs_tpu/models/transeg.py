@@ -124,6 +124,7 @@ class TranSeg(nn.Module):
     n_tasks: int = 1
     use_bg_detector: bool = False
     axis_name: Any = None
+    remat: bool = False  # jax.checkpoint the backbone blocks (memory trade)
     dtype: Any = jnp.float32
 
     @property
@@ -143,6 +144,7 @@ class TranSeg(nn.Module):
             self.backbone_name,
             norm=self.norm,
             output_stride=self.output_stride,
+            remat=self.remat,
             dtype=self.dtype,
         )
         self.base_classifier = TransformerHead(

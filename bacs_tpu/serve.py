@@ -187,16 +187,21 @@ class Predictor:
         conf is None with conf_dtype="none"; packed masks are unpacked
         here so the wire format is invisible to callers.
         """
+        return next(iter(self.predict_many([images])))
+
+    def _dispatch(self, images: np.ndarray):
         if images.shape[0] % self.n_devices:
             raise ValueError(
                 f"batch {images.shape[0]} not divisible by the serving "
                 f"mesh's {self.n_devices} devices"
             )
-        out = self._infer(self.variables, jnp.asarray(images))
+        return self._infer(self.variables, jnp.asarray(images))
+
+    def _materialize(self, out, shape):
         preds, conf = out if self.conf_dtype != "none" else (out, None)
         preds = np.asarray(preds)
         if self.pack_masks:
-            preds = unpack_bits(preds, images.shape[:3], self.mask_bits)
+            preds = unpack_bits(preds, shape, self.mask_bits)
         return preds, (None if conf is None else np.asarray(conf))
 
     def predict_many(self, batches: Iterable[np.ndarray]):
@@ -207,21 +212,14 @@ class Predictor:
         device→host transfer (which dominates tunneled serving). Yields
         (preds, conf) per batch, same semantics as :meth:`predict`.
         """
-        def _materialize(out, shape):
-            preds, conf = out if self.conf_dtype != "none" else (out, None)
-            preds = np.asarray(preds)
-            if self.pack_masks:
-                preds = unpack_bits(preds, shape, self.mask_bits)
-            return preds, (None if conf is None else np.asarray(conf))
-
         pending = None  # (async device output, batch shape)
         for images in batches:
-            out = self._infer(self.variables, jnp.asarray(images))
+            out = self._dispatch(images)
             if pending is not None:
-                yield _materialize(*pending)
+                yield self._materialize(*pending)
             pending = (out, images.shape[:3])
         if pending is not None:
-            yield _materialize(*pending)
+            yield self._materialize(*pending)
 
     def predict_files(
         self, paths: Sequence[str], out_dir: Optional[str] = None,

@@ -15,11 +15,14 @@ Semantics preserved from the reference:
   class in that balance min — ``merge_scores`` only skips label 0
   (buffer.py:141-146, 246-252) — so ``label_mask``/``class_counts`` carry an
   extra trailing column for it.
-- random draws are consumed as uniform [0,1) deviates through the exact
-  transformations numpy uses (``floor(u·N)`` for randint, inverse-CDF
-  searchsorted for ``np.random.choice(p=scores)``), so a shared injected
-  stream reproduces the reference's eviction decisions bit-for-bit
-  (tests/test_boundary_parity.py).
+- random draws are consumed as uniform [0,1) deviates: inverse-CDF
+  searchsorted matches ``np.random.choice(p=scores)`` exactly, while
+  ``floor(u·N)`` for randint is NOT numpy's transformation (RandomState
+  uses masked rejection) — the boundary-parity harness therefore patches
+  the reference side to the same floor transform so both consume one
+  injected stream and eviction decisions can be compared bit-for-bit
+  (tests/test_boundary_parity.py); against unpatched numpy the randint
+  draws differ (same distribution, different deviates).
 - per-slot stored fields: image, pre-upsample sem logits (padded to the FINAL
   class count up front — replacing `change_data_size` memmap surgery,
   buffer.py:63-93), labels, importance (−loss), task id, per-class label

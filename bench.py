@@ -67,6 +67,7 @@ def bench(smoke: bool = False, network: str = "deeplab",
             dtype=dtype,
             transformer=dict(hidden_dim=256, nhead=2, num_decoder_layers=2,
                              dim_feedforward=2048),
+            remat=remat,
         )
     else:
         net = create_network(
