@@ -17,6 +17,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from bacs_tpu.ops.pallas_params import tpu_compiler_params
+
 Array = jax.Array
 
 _ROW_TILE = 256
@@ -76,5 +78,6 @@ def abn_apply_pallas(
         out_specs=pl.BlockSpec(
             (tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
+        compiler_params=tpu_compiler_params(),
     )(x2, vec(mean), vec(inv), vec(scale), vec(bias))
     return out.reshape(orig_shape)

@@ -43,6 +43,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from bacs_tpu.ops.pallas_params import tpu_compiler_params
+
 Array = jax.Array
 
 _NEG = -1e30  # big negative instead of -inf: keeps bf16 arithmetic NaN-free
@@ -257,6 +259,7 @@ def _fwd_pallas(c: Array, a: Array, b: Array, slope: float):
         ],
         out_specs=pl.BlockSpec((1, RB, w2, C), lambda i, j: (i, j, 0, 0),
                                    memory_space=pltpu.VMEM),
+        compiler_params=tpu_compiler_params(),
     )(c2, c2, a2, b2)
     return p
 
@@ -378,6 +381,7 @@ def _bwd_pallas(c, dap, g, g_mean_da, g_mean_da_xhat, mean, inv,
         out_specs=pl.BlockSpec((1, 2 * RB, w2, 2 * C),
                                    lambda i, j: (i, j, 0, 0),
                                    memory_space=pltpu.VMEM),
+        compiler_params=tpu_compiler_params(),
     )(c2, c2, c2, c2, dap, dap,
       vec2(scale * inv), vec2(bias - mean * inv * scale),
       vec2(g), vec2(g_mean_da), vec2(g_mean_da_xhat), vec2(mean), vec2(inv))

@@ -40,6 +40,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from bacs_tpu.ops.pallas_params import tpu_compiler_params
 from bacs_tpu.ops.upsample_ce import (
     ROW_BLOCK,
     _block_kh,
@@ -114,6 +115,7 @@ def _argmax_conf_pallas(sem: Array, kh, kw) -> Tuple[Array, Array]:
             pl.BlockSpec((1, ROW_BLOCK, W), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ),
+        compiler_params=tpu_compiler_params(),
     )(starts, z, kh_blocks)
     return preds.astype(jnp.uint8), conf.astype(jnp.float16)
 

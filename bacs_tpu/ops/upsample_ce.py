@@ -51,6 +51,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
+from bacs_tpu.ops.pallas_params import tpu_compiler_params
+
 Array = jax.Array
 
 NEG = -1e30
@@ -324,6 +326,7 @@ def _ce_sums_pallas(sem, labels, kh, kw):
         grid=dims["grid"],
         in_specs=specs,
         out_specs=out_spec,
+        compiler_params=tpu_compiler_params(),
     )(*lead)
     return jnp.sum(out[:, 0, 0]), jnp.sum(out[:, 0, 1])
 
@@ -339,6 +342,7 @@ def _dsem_pallas(sem, labels, kh, kw, g):
         grid=dims["grid"],
         in_specs=specs + [_g_spec()],
         out_specs=out_spec,
+        compiler_params=tpu_compiler_params(),
     )(*lead, g.reshape(1, 1))
     # transpose W-interp outside (one einsum on the small side)
     dsem = jnp.einsum("Ww,nhcW->nhwc", jnp.asarray(kw),
@@ -529,6 +533,7 @@ def _wce_sums_pallas(sem, labels, weights, kh, kw):
         grid=dims["grid"],
         in_specs=specs + [_wvec_spec(dims)],
         out_specs=out_spec,
+        compiler_params=tpu_compiler_params(),
     )(*lead, _pad_w(weights, dims["c_pad"]))
     return jnp.sum(out[:, 0, 0]), jnp.sum(out[:, 0, 1])
 
@@ -544,6 +549,7 @@ def _dsem_pallas_w(sem, labels, weights, kh, kw, g):
         grid=dims["grid"],
         in_specs=specs + [_wvec_spec(dims), _g_spec()],
         out_specs=out_spec,
+        compiler_params=tpu_compiler_params(),
     )(*lead, _pad_w(weights, dims["c_pad"]), g.reshape(1, 1))
     dsem = jnp.einsum("Ww,nhcW->nhwc", jnp.asarray(kw),
                       dz[:, :, : sem.shape[-1], :])
@@ -761,6 +767,7 @@ def _bacs_pallas(sem, labels, max_seen, kh, kw, old_classes, gamma,
             grid=dims["grid"],
             in_specs=specs,
             out_specs=out_spec,
+            compiler_params=tpu_compiler_params(),
         )(*args)
         return jnp.sum(out[:, 0, 0])
     out_shape, out_spec = _dz_out_spec(dims)
@@ -770,6 +777,7 @@ def _bacs_pallas(sem, labels, max_seen, kh, kw, old_classes, gamma,
         grid=dims["grid"],
         in_specs=specs + [_g_spec()],
         out_specs=out_spec,
+        compiler_params=tpu_compiler_params(),
     )(*args, g.reshape(1, 1))
     dsem = jnp.einsum("Ww,nhcW->nhwc", jnp.asarray(kw),
                       dz[:, :, : sem.shape[-1], :])

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from bacs_tpu.ops.confusion import confusion_matrix
 from bacs_tpu.ops.interpolate import resize_bilinear
+from bacs_tpu.ops.pallas_params import tpu_compiler_params
 from bacs_tpu.ops.upsample_ce import (
     ROW_BLOCK,
     _block_kh,
@@ -111,6 +112,7 @@ def _conf_pallas(sem, labels, kh, kw, c_real, num_classes):
         ],
         out_specs=pl.BlockSpec((c_out, c_out), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=tpu_compiler_params(),
     )(starts, z, labels.astype(jnp.int32), kh_blocks)
     return out[:num_classes, :num_classes].astype(jnp.int32)
 

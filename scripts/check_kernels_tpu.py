@@ -1,0 +1,159 @@
+"""On-TPU parity check: every Pallas kernel vs its pure-jnp fallback.
+
+The CPU test suite can only exercise the jnp fallbacks (the kernels gate
+on `jax.default_backend() == "tpu"` and Mosaic has no CPU interpret path
+wired here), so this script is the missing link: it runs each fused
+kernel AND its fallback on the real chip at production-like shapes and
+asserts value + gradient agreement. Run it after touching anything in
+ops/upsample_ce.py, ops/upsample_confusion.py, or ops/abn_pallas.py:
+
+    python scripts/check_kernels_tpu.py          # asserts + one JSON line each
+    python scripts/check_kernels_tpu.py --smoke  # tiny N (still TPU-only)
+
+Fallback selection works by monkeypatching each module's `_use_pallas`
+(the same gate production uses), so both paths run in one process on
+identical inputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from contextlib import contextmanager
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bacs_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+@contextmanager
+def fallback(module):
+    orig = module._use_pallas
+    module._use_pallas = lambda *a, **k: False
+    try:
+        yield
+    finally:
+        module._use_pallas = orig
+
+
+def report(name, kernel_val, ref_val, rtol, floor=1e-6):
+    k = np.asarray(kernel_val, np.float64)
+    r = np.asarray(ref_val, np.float64)
+    denom = np.maximum(np.abs(r), floor)
+    rel = float(np.max(np.abs(k - r) / denom))
+    ok = rel < rtol
+    print(json.dumps({"check": name, "max_rel": round(rel, 8), "ok": ok}))
+    assert ok, f"{name}: max rel diff {rel} >= {rtol}"
+
+
+def main(smoke: bool = False):
+    import bacs_tpu.ops.upsample_ce as uce
+    import bacs_tpu.ops.upsample_confusion as uconf
+    from bacs_tpu.ops.upsample_ce import (
+        upsampled_bacs_weighted_ce,
+        upsampled_cross_entropy,
+        upsampled_weighted_cross_entropy,
+    )
+    from bacs_tpu.ops.upsample_confusion import upsampled_confusion
+
+    assert jax.default_backend() == "tpu", (
+        "this parity check is TPU-only (CPU already covers the fallbacks)"
+    )
+
+    n = 2 if smoke else 8
+    h = w = 64
+    out = (512, 512)
+    c = 21
+    rs = np.random.RandomState(0)
+    sem = jnp.asarray(rs.randn(n, h, w, c).astype(np.float32))
+    labels = np.asarray(rs.randint(0, c, (n, *out)), np.int32)
+    labels[rs.rand(*labels.shape) < 0.05] = 255
+    labels = jnp.asarray(labels)
+    weights = jnp.asarray(np.linspace(0.5, 2.0, c).astype(np.float32))
+    max_seen = jnp.asarray(rs.rand(n, *out).astype(np.float32))
+
+    # ---- plain CE: value + gradient ----
+    def ce(s):
+        return upsampled_cross_entropy(s, labels, out, 255)
+
+    vk, gk = jax.value_and_grad(ce)(sem)
+    with fallback(uce):
+        vr, gr = jax.value_and_grad(ce)(sem)
+    report("upsample_ce_value", vk, vr, 2e-3)
+    report("upsample_ce_grad", gk, gr, 5e-2)  # eps: tiny denom grads
+
+    # ---- class-weighted CE (replay loss): value + gradient ----
+    def wce(s):
+        return upsampled_weighted_cross_entropy(s, labels, weights, out, 255)
+
+    vk, gk = jax.value_and_grad(wce)(sem)
+    with fallback(uce):
+        vr, gr = jax.value_and_grad(wce)(sem)
+    report("upsample_wce_value", vk, vr, 2e-3)
+    report("upsample_wce_grad", gk, gr, 5e-2)
+
+    # ---- BACS seen-prob weighted CE: value + gradient ----
+    def bce(s):
+        return upsampled_bacs_weighted_ce(
+            s, labels, max_seen, out, old_classes=16
+        )
+
+    vk, gk = jax.value_and_grad(bce)(sem)
+    with fallback(uce):
+        vr, gr = jax.value_and_grad(bce)(sem)
+    report("upsample_bacs_wce_value", vk, vr, 2e-3)
+    report("upsample_bacs_wce_grad", gk, gr, 5e-2)
+
+    # ---- argmax confusion matrix ----
+    # Row sums (per-true-class pixel counts) must match EXACTLY; the
+    # assignments themselves may flip on argmax near-ties at bilinear
+    # class boundaries (kernel and fallback sum the interp in different
+    # f32 orders) — measured 0.048% of pixels on random logits, far
+    # denser in ties than real model outputs. Bound the flip fraction.
+    ck = np.asarray(upsampled_confusion(sem, labels, out, c, 255), np.int64)
+    with fallback(uconf):
+        cr = np.asarray(
+            upsampled_confusion(sem, labels, out, c, 255), np.int64
+        )
+    rows_ok = bool((ck.sum(1) == cr.sum(1)).all())
+    flip_frac = float(np.abs(ck - cr).sum() / 2 / max(cr.sum(), 1))
+    ok = rows_ok and flip_frac < 2e-3
+    print(json.dumps({
+        "check": "upsample_confusion", "rows_exact": rows_ok,
+        "tie_flip_frac": round(flip_frac, 7), "ok": ok,
+    }))
+    assert ok, (rows_ok, flip_frac)
+
+    # ---- fused ABN eval apply (the only ABN Pallas kernel — the
+    # train-mode custom VJP is pure jnp by design, abn_core.py) ----
+    from bacs_tpu.ops import abn_core
+    from bacs_tpu.ops import abn_pallas
+
+    x = jnp.asarray(rs.randn(n, 128, 128, 64).astype(np.float32))
+    scale = jnp.asarray(rs.rand(64).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rs.randn(64).astype(np.float32))
+    mean = jnp.asarray(rs.randn(64).astype(np.float32))
+    var = jnp.asarray(rs.rand(64).astype(np.float32) + 0.1)
+
+    yk = abn_core.fused_abn_eval(x, mean, var, scale, bias)
+    orig = abn_pallas.pallas_available
+    abn_pallas.pallas_available = lambda: False
+    try:
+        yr = abn_core.fused_abn_eval(x, mean, var, scale, bias)
+    finally:
+        abn_pallas.pallas_available = orig
+    # abs diffs are ~1e-7; near-zero leaky-relu outputs need an abs floor
+    report("fused_abn_eval", yk, yr, 2e-3, floor=1e-3)
+
+    print(json.dumps({"check": "ALL_KERNELS", "ok": True}))
+
+
+if __name__ == "__main__":
+    main(smoke="--smoke" in sys.argv)
