@@ -138,6 +138,13 @@ def test_predict_from_checkpoint_and_export():
         with _pytest.raises(ValueError, match="not divisible"):
             mp.predict(imgs[:1])
 
+        # exporting a MESH predictor emits a portable single-device
+        # artifact (a mesh-exported fn can only run on that device count)
+        mesh_export = os.path.join(d, "mesh_model.stablehlo")
+        mp.export(mesh_export, batch_size=2)
+        out_m = Predictor.run_exported(mesh_export, mp.variables, imgs)
+        np.testing.assert_array_equal(np.asarray(out_m[0]), preds)
+
         # jax.export roundtrip
         export_path = os.path.join(d, "model.stablehlo")
         predictor.export(export_path, batch_size=2)
