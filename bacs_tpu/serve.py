@@ -145,13 +145,7 @@ class Predictor:
         else:
             self._infer = jax.jit(_infer)
             self.n_devices = 1
-        # export() always serializes the single-device function: the
-        # StableHLO artifact stays portable (a mesh-exported fn can only
-        # be invoked on an identical device count) — scale-out at serving
-        # time is the consumer runtime's job, same as predict()'s mesh.
-        self._infer_single = (
-            jax.jit(_infer) if self.mesh is not None else self._infer
-        )
+        self._raw_infer = _infer  # unjitted closure, for export()
 
     # ------------------------------------------------------------------
 
@@ -272,7 +266,12 @@ class Predictor:
         var_specs = jax.tree.map(
             lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), self.variables
         )
-        exported = jax_export.export(self._infer_single)(var_specs, x_spec)
+        # always export the SINGLE-DEVICE jit: a mesh-exported fn can only
+        # be invoked on exactly that device count, so the portable artifact
+        # leaves serving-time scale-out to the consumer runtime
+        exported = jax_export.export(jax.jit(self._raw_infer))(
+            var_specs, x_spec
+        )
         blob = exported.serialize()
         with open(path, "wb") as f:
             f.write(blob)

@@ -28,19 +28,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# a PER-RUN cache dir: reuse within this run, but every invocation of
+# the script re-exercises Mosaic compilation — the persistent cache is
+# exactly what masked the scoped-VMEM compile crash this script exists
+# to catch.
+import tempfile
+
 from bacs_tpu.utils.cache import enable_compilation_cache
 
-enable_compilation_cache()
+enable_compilation_cache(tempfile.mkdtemp(prefix="bacs_kernel_check_"))
 
 
 @contextmanager
-def fallback(module):
-    orig = module._use_pallas
-    module._use_pallas = lambda *a, **k: False
+def fallback(module, attr="_use_pallas"):
+    """Force a module's Pallas gate off (the same gate production uses)."""
+    orig = getattr(module, attr)
+    setattr(module, attr, lambda *a, **k: False)
     try:
         yield
     finally:
-        module._use_pallas = orig
+        setattr(module, attr, orig)
 
 
 def report(name, kernel_val, ref_val, rtol, floor=1e-6):
@@ -142,15 +149,50 @@ def main(smoke: bool = False):
     mean = jnp.asarray(rs.randn(64).astype(np.float32))
     var = jnp.asarray(rs.rand(64).astype(np.float32) + 0.1)
 
+    # NB: fused_abn_eval imports pallas_available INSIDE the call
+    # (abn_core.py) — patch the abn_pallas module symbol it reads
     yk = abn_core.fused_abn_eval(x, mean, var, scale, bias)
-    orig = abn_pallas.pallas_available
-    abn_pallas.pallas_available = lambda: False
-    try:
+    with fallback(abn_pallas, "pallas_available"):
         yr = abn_core.fused_abn_eval(x, mean, var, scale, bias)
-    finally:
-        abn_pallas.pallas_available = orig
     # abs diffs are ~1e-7; near-zero leaky-relu outputs need an abs floor
     report("fused_abn_eval", yk, yr, 2e-3, floor=1e-3)
+
+    # ---- fused stem ABN+maxpool (gated off by default but enableable
+    # via network.fused_stem): train fwd + bwd ----
+    import bacs_tpu.ops.stem_pool as stem
+
+    cs = jnp.asarray(rs.randn(n, 64, 64, 64).astype(np.float32))
+
+    def stem_loss(c):
+        p, _, _ = stem.fused_abn_pool(c, scale, bias, 1e-5, 0.01, None)
+        return jnp.sum(p.astype(jnp.float32) ** 2)
+
+    vk, gk = jax.value_and_grad(stem_loss)(cs)
+    with fallback(stem):
+        vr, gr = jax.value_and_grad(stem_loss)(cs)
+    report("fused_stem_value", vk, vr, 2e-3)
+    report("fused_stem_grad", gk, gr, 5e-2, floor=1e-3)
+
+    # ---- serving upsample+argmax+conf tile kernel (use_pallas=True,
+    # gated off by default — measured slower, kept for other
+    # topologies) vs the production einsum path ----
+    from bacs_tpu.ops.upsample_argmax import upsampled_argmax_conf
+
+    pk_preds, pk_conf = upsampled_argmax_conf(sem, out, use_pallas=True)
+    pe_preds, pe_conf = upsampled_argmax_conf(sem, out, use_pallas=False)
+    flip = float(np.mean(np.asarray(pk_preds) != np.asarray(pe_preds)))
+    report("upsample_argmax_conf", pk_conf, pe_conf, 5e-2, floor=1e-3)
+    # BOTH paths run the interp matmuls at bf16 MXU precision but with
+    # different blocking/rounding orders, so near-tie argmax flips are
+    # denser than the f32 confusion comparison (measured 0.35% on random
+    # logits; conf agrees to bf16 eps ~1.3% which corroborates rounding,
+    # not logic). Real model logits are far less tie-dense.
+    ok = flip < 1e-2
+    print(json.dumps({
+        "check": "upsample_argmax_preds", "tie_flip_frac": round(flip, 7),
+        "ok": ok,
+    }))
+    assert ok, flip
 
     print(json.dumps({"check": "ALL_KERNELS", "ok": True}))
 

@@ -4,9 +4,9 @@ Produces what the MIT SceneParsing release unpacks to (reference:
 dataset/ade20k.py; our loader bacs_tpu/data/datasets.py make_ade_source):
 `{root}/ADEChallengeData2016/{images,annotations}/{training,validation}`
 with JPEG images and single-channel label PNGs. Content comes from
-data/datasets.SyntheticSource. `--num-classes` defaults to a small
-subset of the 151-class space so CPU e2e runs stay bounded while the
-directory walk, jpg/png pairing, and 151-way head allocation are real.
+data/datasets.SyntheticSource at the full 151-class space by default
+(`--num-classes` can shrink it); e2e runtime is bounded by the image
+COUNT/size knobs, not the class count.
 
     python scripts/gen_ade_layout.py --root /tmp/ade_synth --n-train 32
 

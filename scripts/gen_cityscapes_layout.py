@@ -48,6 +48,11 @@ def generate(
         SyntheticSource,
     )
 
+    if cities > len(TRAIN_CITIES) or val_cities > len(VAL_CITIES):
+        raise ValueError(
+            f"at most {len(TRAIN_CITIES)} train / {len(VAL_CITIES)} val "
+            f"cities available, got {cities}/{val_cities}"
+        )
     root = os.path.expanduser(root)
     # invert the loader's id→trainid map so the PNGs carry raw ids and
     # the remap path is exercised; trainid 0 (background) → id 0

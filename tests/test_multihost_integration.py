@@ -63,20 +63,29 @@ def _free_port() -> int:
 def test_two_process_mesh_reduction(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(WORKER.format(repo=os.path.abspath(REPO)))
-    port = _free_port()
     env = dict(os.environ)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(script), str(pid), "2", str(port)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=env,
-        )
-        for pid in (0, 1)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=240)
-        outs.append(out)
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, out
-        assert "GLOBAL_SUM 10.0" in out, out
+    # the free-port probe has a TOCTOU window (released before the
+    # coordinator rebinds it) — retry once with a fresh port
+    for attempt in (0, 1):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(pid), "2", str(port)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                env=env,
+            )
+            for pid in (0, 1)
+        ]
+        try:
+            outs = [p.communicate(timeout=240)[0] for p in procs]
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
+        if attempt == 0 and any(p.returncode != 0 for p in procs):
+            continue
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out
+            assert "GLOBAL_SUM 10.0" in out, out
+        return
