@@ -163,3 +163,31 @@ def test_predict_from_checkpoint_and_export():
             unpack_bits(np.asarray(packed_out), imgs.shape[:3], pk.mask_bits),
             preds,
         )
+
+
+def test_transeg_predictor():
+    """The serving surface covers the transformer family too (the
+    checkpoint round-trip above uses UNet; the fused argmax tail works
+    from any pre-upsample sem_logits resolution)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bacs_tpu.models import create_network
+    from bacs_tpu.serve import Predictor
+
+    tr = {"hidden_dim": 32, "nhead": 2, "num_decoder_layers": 1,
+          "dim_feedforward": 64}
+    cfg = {"_target_": "networks.TranSeg", "norm": "abn",
+           "backbone": "resnet18", "transformer": tr}
+    net = create_network("transeg", num_classes=5, norm="abn",
+                         axis_name=None, crop_size=32, backbone="resnet18",
+                         transformer=tr)
+    x0 = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    v = net.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x0, train=False,
+    )
+    p = Predictor(cfg, 5, v["params"], v["batch_stats"], crop_size=32)
+    preds, conf = p.predict(np.zeros((2, 32, 32, 3), np.uint8))
+    assert preds.shape == (2, 32, 32) and preds.dtype == np.uint8
+    assert conf.shape == (2, 32, 32) and conf.dtype == np.float16
