@@ -28,6 +28,7 @@ from bacs_tpu.data.continual import (
 )
 from bacs_tpu.data import transforms
 from bacs_tpu.data.datasets import (
+    DomainShiftedSource,
     SyntheticSource,
     make_ade_source,
     make_cityscapes_source,
@@ -412,5 +413,10 @@ def create_datamodule(config) -> DataModule:
         val = SyntheticSource(n_val, crop, num_classes, seed=2)
         n_domains = inner.get("n_domains", None)
         if n_domains:
-            common["domain_ids"] = [i % int(n_domains) for i in range(n_train)]
+            domain_ids = [i % int(n_domains) for i in range(n_train)]
+            # give the domains a REAL appearance shift so domain
+            # forgetting is measurable (val is an 80/20 split of the
+            # train source inside DomainScenario)
+            train = DomainShiftedSource(train, domain_ids)
+            common["domain_ids"] = domain_ids
     return DataModule(train, val, **common)

@@ -171,6 +171,47 @@ class SyntheticSource:
         return self.load(i)[1]
 
 
+class DomainShiftedSource:
+    """Wrap a source with a REAL per-domain appearance shift.
+
+    The synthetic domain-incremental scenario previously assigned
+    domain_ids without any distribution difference between domains, so
+    domain forgetting was unmeasurable. Each domain gets a fixed,
+    deterministic color transform (per-channel gain/bias + channel
+    permutation — a stand-in for Cityscapes' per-city appearance
+    statistics, reference: dataset/cityscape_domain_dataset.py); labels
+    are untouched, so class semantics stay constant across domains and
+    any accuracy drop on old domains is genuine appearance forgetting.
+    """
+
+    def __init__(self, base, domain_ids):
+        self.base = base
+        self.domain_ids = list(domain_ids)
+        self.class_names = base.class_names
+        perms = [(0, 1, 2), (1, 2, 0), (2, 0, 1), (0, 2, 1), (2, 1, 0),
+                 (1, 0, 2)]
+        self._tx = {}
+        for d in sorted(set(self.domain_ids)):
+            rs = np.random.RandomState(9176 + d)
+            self._tx[d] = (
+                perms[d % len(perms)],
+                rs.uniform(0.6, 1.2, 3).astype(np.float32),  # gain
+                rs.uniform(-30, 30, 3).astype(np.float32),   # bias
+            )
+
+    def __len__(self):
+        return len(self.base)
+
+    def load(self, i: int):
+        img, lbl = self.base.load(i)
+        perm, gain, bias = self._tx[self.domain_ids[i]]
+        out = img.astype(np.float32)[..., list(perm)] * gain + bias
+        return np.clip(out, 0, 255).astype(np.uint8), lbl
+
+    def load_label(self, i: int) -> np.ndarray:
+        return self.base.load_label(i)
+
+
 # ADE20K label names (published dataset metadata;
 # reference: dataset/ade20k.py:56-208 MAP_LABELS)
 ADE20K_CLASSES = [

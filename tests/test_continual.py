@@ -115,3 +115,20 @@ def test_voc_15_1_shapes():
     # every task has at least some images under overlap
     for t in range(6):
         assert len(s.task_indices(t)) > 0
+
+
+def test_domain_shifted_source_applies_real_appearance_shift():
+    """Synthetic domains must DIFFER in appearance (else domain
+    forgetting is unmeasurable) while labels stay untouched."""
+    from bacs_tpu.data.datasets import DomainShiftedSource, SyntheticSource
+
+    base = SyntheticSource(4, 16, 4, seed=3)
+    d0 = DomainShiftedSource(base, [0, 0, 0, 0])
+    d1 = DomainShiftedSource(base, [1, 1, 1, 1])
+    img0, lbl0 = d0.load(0)
+    img1, lbl1 = d1.load(0)
+    np.testing.assert_array_equal(lbl0, lbl1)  # labels untouched
+    assert np.abs(img0.astype(int) - img1.astype(int)).mean() > 5.0
+    # deterministic per domain
+    img0b, _ = d0.load(0)
+    np.testing.assert_array_equal(img0, img0b)
