@@ -5,8 +5,9 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from bacs_tpu.data.continual import ContinualScenario
+from bacs_tpu.data.continual import ContinualScenario, shuffle_class_order
 from bacs_tpu.train.learner import multihead_init
 from bacs_tpu.train.state import TaskInfo, TrainState
 
@@ -115,6 +116,97 @@ def test_voc_15_1_shapes():
     # every task has at least some images under overlap
     for t in range(6):
         assert len(s.task_indices(t)) > 0
+
+
+def _reference_filter_images(class_sets, increments, class_order, mode):
+    """Independent transcription of the reference's membership rule
+    (reference: dataset/cityscape_dataset.py:150-201 `_filter_images`,
+    itself from Cermelli's MiB utils): overlap = any current-task class
+    present; disjoint/sequential = that AND every class in the image is
+    current ∪ old ∪ {0, 255}."""
+    t = np.zeros((len(class_sets), len(increments)), dtype=bool)
+    acc = 0
+    for task_id, inc in enumerate(increments):
+        labels = class_order[acc : acc + inc]
+        old_labels = class_order[:acc]
+        all_labels = list(labels) + list(old_labels) + [0, 255]
+        for index, classes in enumerate(class_sets):
+            if mode == "overlap":
+                t[index, task_id] = any(c in labels for c in classes)
+            else:  # disjoint / sequential
+                t[index, task_id] = any(c in labels for c in classes) and all(
+                    c in all_labels for c in classes
+                )
+        acc += inc
+    return t
+
+
+@pytest.mark.parametrize("initial,inc", [(15, 1), (10, 1), (15, 5), (19, 1)])
+@pytest.mark.parametrize("mode", ["overlap", "disjoint", "sequential"])
+def test_voc_scenario_grid_matches_reference_rule(initial, inc, mode):
+    """The full VOC scenario grid the reference's authors ran
+    ({15-1, 10-1, 15-5, 19-1} × {overlap, disjoint, sequential},
+    reference: scripts/voc/slurm_train.sh:18-19,68-87): membership must
+    be bit-identical to the reference's `_filter_images` rule, and the
+    per-task label tables must follow each mode's visibility semantics."""
+    rng = np.random.RandomState(initial * 7 + inc)
+    class_sets = [
+        np.unique(rng.randint(1, 21, size=rng.randint(1, 5)))
+        for _ in range(300)
+    ]
+    s = ContinualScenario(class_sets, initial, inc, 21, mode=mode)
+    n_tasks = 1 + (20 - initial) // inc
+    assert s.n_tasks == n_tasks
+
+    expected = _reference_filter_images(
+        class_sets, [initial] + [inc] * (n_tasks - 1), list(range(1, 21)), mode
+    )
+    for t in range(n_tasks):
+        np.testing.assert_array_equal(
+            s.task_indices(t), np.where(expected[:, t])[0],
+            err_msg=f"membership diverges at task {t} ({initial}-{inc} {mode})",
+        )
+
+    # label-table semantics per mode at every task
+    for t in range(n_tasks):
+        cur = set(s.task_classes(t))
+        seen = set(c for u in range(t + 1) for c in s.task_classes(u))
+        train_tab = s.label_table(t, train=True)
+        eval_tab = s.label_table(t, train=False)
+        assert train_tab[255] == 255 and eval_tab[255] == 255
+        for c in range(1, 21):
+            visible_train = seen if mode == "sequential" else cur
+            assert train_tab[c] == (c if c in visible_train else 0)
+            assert eval_tab[c] == (c if c in seen else 0)
+        assert s.n_classes_at(t) == 1 + initial + inc * t
+
+
+@pytest.mark.parametrize("mode", ["overlap", "disjoint"])
+def test_scenario_grid_with_shuffled_class_order(mode):
+    """Class-order shuffling composes with every mode: membership follows
+    the ORDER-sliced class sets and labels are remapped to contiguous ids
+    by order position (reference: base_datamodule.py:95-112)."""
+    order = shuffle_class_order(21, seed=5)
+    rng = np.random.RandomState(11)
+    class_sets = [
+        np.unique(rng.randint(1, 21, size=rng.randint(1, 4)))
+        for _ in range(150)
+    ]
+    s = ContinualScenario(
+        class_sets, 15, 1, 21, mode=mode, class_order=order
+    )
+    expected = _reference_filter_images(
+        class_sets, [15, 1, 1, 1, 1, 1], order, mode
+    )
+    for t in range(6):
+        np.testing.assert_array_equal(
+            s.task_indices(t), np.where(expected[:, t])[0]
+        )
+    # remap: k-th class in the order gets contiguous id k+1
+    tab0 = s.label_table(0, train=True)
+    for pos, orig in enumerate(order[:15]):
+        assert tab0[orig] == pos + 1
+    assert s.task_classes_original(5) == [order[19]]
 
 
 def test_domain_shifted_source_applies_real_appearance_shift():
