@@ -37,7 +37,8 @@ A100_REF_BRACKET = (40.0, 55.0)
 
 
 def bench(smoke: bool = False, network: str = "deeplab",
-          remat: bool = False):
+          remat: bool = False, crop: int | None = None,
+          batch: int | None = None):
     from bacs_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -51,7 +52,9 @@ def bench(smoke: bool = False, network: str = "deeplab",
     if smoke:
         crop, batch, backbone, steps, dtype = 64, 2, "resnet18", 3, jnp.float32
     else:
-        crop, batch, backbone, steps, dtype = 512, 16, "resnet101", 20, jnp.bfloat16
+        backbone, steps, dtype = "resnet101", 20, jnp.bfloat16
+        crop = crop or 512
+        batch = batch or 16
 
     n_classes = 21
     if network == "transeg":
@@ -123,11 +126,13 @@ def bench(smoke: bool = False, network: str = "deeplab",
     float(metrics["loss"])  # host transfer = real sync
     dt = time.perf_counter() - t0
     img_per_sec = steps * batch / dt
-    name = ("transeg_rn101_train_images_per_sec_per_chip_512"
+    name = (f"transeg_rn101_train_images_per_sec_per_chip_{crop}"
             if network == "transeg"
-            else "deeplabv3_rn101_train_images_per_sec_per_chip_512")
+            else f"deeplabv3_rn101_train_images_per_sec_per_chip_{crop}")
     if remat:
         name += "_remat"
+    if batch != 16 and not smoke:
+        name += f"_b{batch}"
     print(
         json.dumps(
             {
@@ -151,5 +156,11 @@ if __name__ == "__main__":
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint over ResNet blocks "
                          "(training.network.remat)")
+    ap.add_argument("--crop", type=int, default=None,
+                    help="crop size (default 512); e.g. 768 needs --remat "
+                         "to fit batch 16 in v5e HBM")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="batch size (default 16)")
     args = ap.parse_args()
-    bench(smoke=args.smoke, network=args.network, remat=args.remat)
+    bench(smoke=args.smoke, network=args.network, remat=args.remat,
+          crop=args.crop, batch=args.batch)
