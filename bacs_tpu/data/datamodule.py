@@ -111,6 +111,13 @@ class DataModule:
         self.sweep = sweep
         self.seed = seed
         self.task_id = 0
+        # multihost: every process sees the same deterministic global batch
+        # plan; `process_shard=True` streams (the jitted step loops) yield
+        # only this process's contiguous slice of each global batch, which
+        # put_batch reassembles into one global array
+        # (train/step.py make_array_from_process_local_data)
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
         # domain-incremental mode (reference: cityscape_datamodule.py:270-295)
         self.domain_shift = domain_ids is not None
         # continual detection (reference: base_datamodule.py:37-40)
@@ -223,16 +230,30 @@ class DataModule:
             lbls.append(lbl)
         return np.stack(imgs), np.stack(lbls)
 
+    def _proc_slice(self, global_batch: int):
+        """(lo, hi) of this process's contiguous slice of a global batch."""
+        if self.process_count <= 1:
+            return 0, global_batch
+        assert global_batch % self.process_count == 0, (
+            f"global batch {global_batch} not divisible by "
+            f"{self.process_count} processes"
+        )
+        local = global_batch // self.process_count
+        return self.process_index * local, (self.process_index + 1) * local
+
     def train_batches(
         self,
         epoch: int,
         n_devices: int = 1,
         task_id: Optional[int] = None,
         augment: bool = True,
+        process_shard: bool = False,
     ) -> Iterator[Dict[str, jax.Array]]:
         """One epoch of device batches for the current task (prefetched)."""
         return _prefetch(
-            self._train_batches_impl(epoch, n_devices, task_id, augment)
+            self._train_batches_impl(
+                epoch, n_devices, task_id, augment, process_shard
+            )
         )
 
     def _train_batches_impl(
@@ -241,6 +262,7 @@ class DataModule:
         n_devices: int = 1,
         task_id: Optional[int] = None,
         augment: bool = True,
+        process_shard: bool = False,
     ) -> Iterator[Dict[str, jax.Array]]:
         t = self.task_id if task_id is None else task_id
         indices = self.train_indices(t)
@@ -250,6 +272,10 @@ class DataModule:
         n_steps = max(1, len(perm) // global_batch) if len(perm) >= global_batch else 1
         if len(perm) < global_batch:  # tile tiny debug sets to a full batch
             perm = np.resize(perm, global_batch)
+        lo, hi = (
+            self._proc_slice(global_batch) if process_shard
+            else (0, global_batch)
+        )
         table = jax.numpy.asarray(
             self.train_scenario.label_table(t, train=True)
             if self.continual
@@ -259,13 +285,16 @@ class DataModule:
             ).astype(np.int32)
         )
         key = jax.random.PRNGKey(rng.randint(2**31))
+        if process_shard and self.process_count > 1:
+            # decorrelate per-process augmentation draws
+            key = jax.random.fold_in(key, self.process_index)
         # NOTE: decode and transform/transfer run SERIALLY in this one
         # generator on purpose — splitting decode into its own second
         # prefetch thread was measured at 20.4 img/s vs 45.7 img/s for this
         # single-stage form (scripts/bench_input.py, 1-core host): three
         # Python threads on one core thrash where two pipeline cleanly.
         for s in range(n_steps):
-            batch_idx = perm[s * global_batch : (s + 1) * global_batch]
+            batch_idx = perm[s * global_batch : (s + 1) * global_batch][lo:hi]
             imgs, lbls = self._gather(self.train_source, batch_idx)
             key, sub = jax.random.split(key)
             if augment:
@@ -282,14 +311,18 @@ class DataModule:
         task_id: int,
         split: str = "val",
         n_devices: int = 1,
+        process_shard: bool = False,
     ) -> Iterator[Dict[str, jax.Array]]:
-        return _prefetch(self._eval_batches_impl(task_id, split, n_devices))
+        return _prefetch(
+            self._eval_batches_impl(task_id, split, n_devices, process_shard)
+        )
 
     def _eval_batches_impl(
         self,
         task_id: int,
         split: str = "val",
         n_devices: int = 1,
+        process_shard: bool = False,
     ) -> Iterator[Dict[str, jax.Array]]:
         """Eval batches for ONE task's val subset with labels of tasks 0..t
         visible (reference: base_datamodule.py:407-431 get_val_test_all)."""
@@ -320,17 +353,24 @@ class DataModule:
             )
         idx = self._subset(idx, np.random.RandomState(self.seed + 77 + task_id))
         global_batch = self.batch_size * n_devices
+        lo, hi = (
+            self._proc_slice(global_batch) if process_shard
+            else (0, global_batch)
+        )
         n_steps = math.ceil(len(idx) / global_batch)
         for s in range(n_steps):
             batch_idx = idx[s * global_batch : (s + 1) * global_batch]
             n_real = len(batch_idx)
             if n_real < global_batch:  # pad to static shape
                 batch_idx = np.resize(batch_idx, global_batch)
+            batch_idx = batch_idx[lo:hi]
             imgs, lbls = self._gather(source, batch_idx)
-            if n_real < global_batch:
-                # padded duplicates must not count toward metrics
+            if n_real < hi:
+                # padded duplicates must not count toward metrics; global
+                # positions >= n_real fall in this process's [lo, hi) slice
+                # at local offset n_real - lo
                 lbls = lbls.copy()
-                lbls[n_real:] = 255
+                lbls[max(0, n_real - lo):] = 255
             out = transforms.eval_transform(imgs, lbls, table, crop=self.crop_size)
             # host-side real sample count: eval losses are sample-weighted
             # (reference: lightning batch-size-weighted epoch means)
@@ -371,13 +411,32 @@ def create_datamodule(config) -> DataModule:
     # gated download orchestration (reference: prepare_data hooks; this env
     # has no egress, so failures raise DownloadError with layout instructions)
     want_download = bool(inner.get("download", False))
+    # decoded-sample cache: epochs >= 2 skip PNG/JPEG decode (the measured
+    # host bottleneck, scripts/bench_input.py); lossless because sources
+    # decode to a fixed canonical size.  true/"ram" → in-process arrays;
+    # "disk" → persistent memmaps under <root>/cache
+    cache_decoded = inner.get("cache_decoded", False)
+
+    def _maybe_cache(src, root):
+        if not cache_decoded:
+            return src
+        import os
+
+        from bacs_tpu.data.datasets import DecodedCache
+
+        cache_dir = (
+            os.path.expanduser(os.path.join(root, "cache"))
+            if str(cache_decoded).lower() == "disk"
+            else None
+        )
+        return DecodedCache(src, cache_dir)
     if "voc" in target:
         if want_download:
             from bacs_tpu.data.download import download_voc
 
             download_voc(root)
-        train = make_voc_source(root, "train", crop)
-        val = make_voc_source(root, "val", crop)
+        train = _maybe_cache(make_voc_source(root, "train", crop), root)
+        val = _maybe_cache(make_voc_source(root, "val", crop), root)
         import os
 
         common["cache_dir"] = os.path.expanduser(os.path.join(root, "cache"))
@@ -386,8 +445,8 @@ def create_datamodule(config) -> DataModule:
             from bacs_tpu.data.download import download_ade20k
 
             download_ade20k(root)
-        train = make_ade_source(root, "train", crop)
-        val = make_ade_source(root, "val", crop)
+        train = _maybe_cache(make_ade_source(root, "train", crop), root)
+        val = _maybe_cache(make_ade_source(root, "val", crop), root)
     elif "cityscape" in target:
         if want_download:
             from bacs_tpu.data.download import download_cityscapes
@@ -400,6 +459,9 @@ def create_datamodule(config) -> DataModule:
         train = make_cityscapes_source(root, "train", crop)
         val = make_cityscapes_source(root, "val", crop)
         n_cities = inner.get("n_cities", None)
+        if not n_cities:
+            train = _maybe_cache(train, root)
+            val = _maybe_cache(val, root)
         if n_cities:
             # domain-shift variant: cities become domains
             common["domain_ids"] = train.domain_ids

@@ -36,6 +36,39 @@ def multihost_init(
         )
 
 
+def replicate_to_global(tree, mesh: Mesh):
+    """Host-local pytree → fully-replicated global jax.Arrays on `mesh`.
+
+    Multihost jit rejects host-committed single-device inputs; every process
+    holds an identical copy of the train state (same seeds, same restores),
+    so the local value IS the global value.  No-op-cheap on single host too,
+    but only needed — and only called — when `jax.process_count() > 1`.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        tree,
+    )
+
+
+def localize_to_host(tree):
+    """Global fully-replicated pytree → process-local device arrays.
+
+    The inverse of `replicate_to_global`, used around task-BOUNDARY passes
+    (begin_task / end_task / head surgery): those run per-process plain jits
+    and jnp ops over the full canonical stream, which must not receive
+    global arrays.  Reading a fully-replicated global array is legal on
+    every process; re-wrapping as jnp keeps `.at[]`-style surgery working.
+    """
+    import jax.numpy as jnp
+
+    return jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), tree)
+
+
 def make_data_mesh(n_devices: Optional[int] = None) -> Optional[Mesh]:
     """1-D data-parallel mesh over up to `n_devices` (None/1 → no mesh)."""
     devices = jax.devices()

@@ -59,6 +59,11 @@ class Trainer:
         # BN/grad reductions inserted by XLA) — see step.make_gspmd_steps.
         n_dev = int(tcfg.get("n_devices", tcfg.get("n_gpus", 1)) or 1)
         avail = len(jax.devices())
+        # multihost (jax.distributed initialized before Trainer construction,
+        # parallel/mesh.py multihost_init): jax.devices() is the GLOBAL list;
+        # each process feeds its slice of every global batch (process_shard
+        # streams + make_array_from_process_local_data in put_batch)
+        self.process_count = jax.process_count()
         self.n_devices = min(max(n_dev, 1), avail)
         if self.n_devices < n_dev:
             # the reference's DDP would fail loudly here; warn loudly instead
@@ -73,6 +78,18 @@ class Trainer:
         # BACS_FUSED_UPSAMPLE_CE env var — no process-global state)
         self.fused_ce = bool(tcfg.get("fused_ce", True))
         self.spatial_partition = int(tcfg.get("spatial_partition", 0) or 0)
+        if self.process_count > 1:
+            if self.spatial_partition > 1:
+                raise NotImplementedError(
+                    "spatial_partition is single-host only; use pure data "
+                    "parallelism on pods (train/step.py make_gspmd_steps)"
+                )
+            if self.n_devices < avail:
+                raise ValueError(
+                    f"multihost run must use every global device: "
+                    f"training.n_devices={self.n_devices} < {avail} would "
+                    "leave some processes' chips idle in the mesh"
+                )
         if self.spatial_partition > 1 and self.n_devices > 1:
             from bacs_tpu.parallel.mesh import make_spatial_mesh
 
@@ -288,6 +305,14 @@ class Trainer:
     def _run_task(self, task_id: int) -> List[Dict[str, float]]:
         dm = self.datamodule
         dm.set_task_id(task_id)
+        multihost = self.process_count > 1
+        if multihost and self.state is not None:
+            # boundary passes (surgery/begin_task) run per-process plain
+            # jits over the full stream — they need host-local state; the
+            # step loops re-globalize below
+            from bacs_tpu.parallel.mesh import localize_to_host
+
+            self.state = localize_to_host(self.state)
         task = self._task_info(task_id)
         model = self._make_model(task)
         spatial = (
@@ -329,11 +354,23 @@ class Trainer:
             train_step, eval_step, put_batch = make_steps(
                 ctx, self.method, tx, dm.num_classes, mesh=self.mesh
             )
+        if multihost:
+            # host-committed state cannot enter a multihost jit; every
+            # process holds an identical copy, so replicate it globally
+            from bacs_tpu.parallel.mesh import replicate_to_global
+
+            self.state = replicate_to_global(self.state, self.mesh)
         # K steps per dispatch amortize host→device call overhead
         # (~70 ms/dispatch on tunneled runtimes; scripts/profile_step.py)
         steps_per_dispatch = int(
             self.config["training"].get("steps_per_dispatch", 1) or 1
         )
+        if self.process_count > 1 and steps_per_dispatch > 1:
+            self.logger.info(
+                "steps_per_dispatch > 1 is a tunneled-host dispatch "
+                "amortization; forcing 1 under multihost"
+            )
+            steps_per_dispatch = 1
         multi_step = None
         if steps_per_dispatch > 1 and self.spatial_partition <= 1:
             from bacs_tpu.train.step import make_multi_step
@@ -397,7 +434,10 @@ class Trainer:
                 epoch_step=jnp.asarray(skip, jnp.int32),
             )
             for i, batch in enumerate(
-                dm.train_batches(epoch=epoch, n_devices=self.n_devices)
+                dm.train_batches(
+                    epoch=epoch, n_devices=self.n_devices,
+                    process_shard=self.process_count > 1,
+                )
             ):
                 if i < skip:
                     step_count += 1  # already consumed pre-crash
@@ -429,7 +469,7 @@ class Trainer:
                     float(metrics["loss"])
                     dt = time.perf_counter() - t0
                     if dt < 5.0:  # exclude compile-dominated dispatches
-                        self._timing["images"] += (
+                        self._timing["images"] += self.process_count * (
                             batch["image"].shape[0] * steps_per_dispatch
                             if multi_step is not None
                             else batch["image"].shape[0]
@@ -485,17 +525,37 @@ class Trainer:
             self.logger.info(f"profiler trace written to {self.profile_dir}")
 
         # buffers are populated from CANONICAL (non-augmented) images; replay
-        # re-augments per step (reference: base_datamodule.py:433-451)
+        # re-augments per step (reference: base_datamodule.py:433-451).
+        # Every process consumes the FULL (unsharded) stream so the
+        # replicated CL state (buffer/prototypes/prev model) stays identical.
+        if multihost:
+            from bacs_tpu.parallel.mesh import (
+                localize_to_host,
+                replicate_to_global,
+            )
+
+            self.state = localize_to_host(self.state)
         self.state = self.method.end_task(
             self.state,
             ctx,
             dm.train_batches(epoch=0, n_devices=self.n_devices, augment=False),
         )
+        if multihost:
+            self.state = replicate_to_global(self.state, self.mesh)
         if self.save_checkpoints:
             from bacs_tpu.utils.checkpoint import save_task_checkpoint
 
             save_task_checkpoint(self.ckpt_dir, task_id, self.state, "final")
         return self._run_test(task_id, ctx, eval_step, put_batch)
+
+    def _global_zeros(self, shape):
+        """int32 zeros usable as a multihost jit input (replicated)."""
+        z = jnp.zeros(shape, jnp.int32)
+        if self.process_count > 1:
+            from bacs_tpu.parallel.mesh import replicate_to_global
+
+            z = replicate_to_global(z, self.mesh)
+        return z
 
     def _run_validation(self, task_id, ctx, eval_step, put_batch, epoch):
         """Mid-training val pass: current task (+ previous task as `prev`)
@@ -506,9 +566,12 @@ class Trainer:
         if self.continual and task_id > 0:
             targets.append(("prev", task_id - 1))
         for prefix, t in targets:
-            conf = jnp.zeros((dm.num_classes, dm.num_classes), jnp.int32)
+            conf = self._global_zeros((dm.num_classes, dm.num_classes))
             losses, weights = [], []
-            for batch in dm.eval_batches(t, n_devices=self.n_devices):
+            for batch in dm.eval_batches(
+                t, n_devices=self.n_devices,
+                process_shard=self.process_count > 1,
+            ):
                 weights.append(batch.pop("n_real", batch["image"].shape[0]))
                 conf, loss = eval_step(self.state, conf, put_batch(batch))
                 losses.append(float(loss))
@@ -534,10 +597,13 @@ class Trainer:
         results: List[Dict[str, float]] = []
         first_batch = None
         for d in dm.eval_task_range(task_id):
-            conf = jnp.zeros((dm.num_classes, dm.num_classes), jnp.int32)
-            conf_aux = jnp.zeros((2, 2), jnp.int32)
+            conf = self._global_zeros((dm.num_classes, dm.num_classes))
+            conf_aux = self._global_zeros((2, 2))
             losses, weights = [], []
-            for batch in dm.eval_batches(d, n_devices=self.n_devices):
+            for batch in dm.eval_batches(
+                d, n_devices=self.n_devices,
+                process_shard=self.process_count > 1,
+            ):
                 weights.append(batch.pop("n_real", batch["image"].shape[0]))
                 batch = put_batch(batch)
                 if first_batch is None:
@@ -577,6 +643,14 @@ class Trainer:
         """Media / prototype / drift / OOD passes after each task's test
         (reference: visualization callbacks + trainer.py:406-411)."""
         dm = self.datamodule
+        if self.process_count > 1:
+            if any((self.media, self.proto_logger, self.drift,
+                    self.ood_config)):
+                self.logger.info(
+                    "WARNING: media/prototype/drift/OOD callbacks are "
+                    "single-host diagnostics — skipped under multihost"
+                )
+            return
         if first_batch is not None and self.media is not None:
 
             @jax.jit

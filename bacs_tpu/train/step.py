@@ -206,10 +206,26 @@ def make_steps(
 
     batch_sharding = NamedSharding(mesh, shard)
 
-    def put_batch(batch: Dict[str, Any]) -> Dict[str, Array]:
-        return {
-            k: jax.device_put(v, batch_sharding) for k, v in batch.items()
-        }
+    if jax.process_count() > 1:
+        # multihost: each process feeds its own contiguous slice of the
+        # global batch (DataModule process_shard=True); JAX assembles the
+        # global array across hosts (a device_put cannot address other
+        # hosts' devices — reference analogue: DistributedSampler shards)
+        import numpy as np
+
+        def put_batch(batch: Dict[str, Any]) -> Dict[str, Array]:
+            return {
+                k: jax.make_array_from_process_local_data(
+                    batch_sharding, np.asarray(v)
+                )
+                for k, v in batch.items()
+            }
+    else:
+
+        def put_batch(batch: Dict[str, Any]) -> Dict[str, Array]:
+            return {
+                k: jax.device_put(v, batch_sharding) for k, v in batch.items()
+            }
 
     return train_step, eval_step, put_batch
 
@@ -240,6 +256,12 @@ def make_gspmd_steps(
     assert ctx.axis_name is None, "GSPMD path uses global (unnamed) reductions"
     assert ctx.spatial_mesh is mesh, "ctx.spatial_mesh must be the step mesh"
     assert mesh.axis_names == ("data", "space"), mesh.axis_names
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "spatial_partition > 1 is single-host only: a multihost batch "
+            "would need per-process (data, space) blocks — use pure data "
+            "parallelism (training.spatial_partition=0) on pods"
+        )
     train_impl = partial(_train_step_impl, ctx, method, tx)
     eval_impl = partial(_eval_step_impl, ctx, method, num_classes)
 

@@ -18,8 +18,13 @@ class Logger:
     def __init__(self, config: Dict[str, Any] | None = None):
         self._t0 = time.time()
         self._wandb = None
+        # multihost: only the coordinator prints/logs (the reference's
+        # Lightning rank_zero gating)
+        import jax
+
+        self._primary = jax.process_index() == 0
         wcfg = (config or {}).get("wandb", {}) or {}
-        if wcfg.get("enabled"):
+        if wcfg.get("enabled") and self._primary:
             try:
                 import wandb
 
@@ -33,10 +38,14 @@ class Logger:
                 self._wandb = None
 
     def info(self, msg: str):
+        if not self._primary:
+            return
         dt = time.time() - self._t0
         print(f"[{dt:8.1f}s] {msg}", flush=True)
 
     def log_metrics(self, metrics: Dict[str, float], step: int | None = None):
+        if not self._primary:
+            return
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
         compact = {

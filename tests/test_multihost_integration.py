@@ -89,3 +89,129 @@ def test_two_process_mesh_reduction(tmp_path):
             assert p.returncode == 0, out
             assert "GLOBAL_SUM 10.0" in out, out
         return
+
+
+TRAINER_WORKER = """
+import os
+import sys
+
+pid, n, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+from bacs_tpu.parallel.mesh import multihost_init
+
+multihost_init(
+    coordinator_address=f"127.0.0.1:{{port}}",
+    num_processes=n,
+    process_id=pid,
+)
+
+import numpy as np
+from bacs_tpu.config import load_config
+from bacs_tpu.train.loop import Trainer
+
+config = load_config(
+    {repo!r} + "/conf/continual_debug", "config",
+    ["+training.n_devices=4", "dataset.dataset.crop_size=32"],
+)
+trainer = Trainer(config)
+assert trainer.process_count == n, trainer.process_count
+assert trainer.n_devices == 4
+miou = trainer.fit()
+
+# every process must end with the SAME replicated state
+checksum = float(
+    sum(np.abs(np.asarray(x, np.float64)).sum()
+        for x in jax.tree.leaves(trainer.state.params))
+)
+print(f"FINAL mIoU={{miou:.6f}} params={{checksum:.6f}}", flush=True)
+"""
+
+
+def test_two_process_trainer_fit(tmp_path):
+    """The REAL Trainer across 2 processes x 2 virtual devices: per-process
+    data slices reassembled by make_array_from_process_local_data, boundary
+    passes on host-local state, 3-task continual run with head surgery.
+    Both processes must converge to bit-identical replicated state."""
+    script = tmp_path / "trainer_worker.py"
+    script.write_text(TRAINER_WORKER.format(repo=os.path.abspath(REPO)))
+    env = dict(os.environ)
+    for attempt in (0, 1):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(pid), "2", str(port)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                env=env, cwd=os.path.abspath(REPO),
+            )
+            for pid in (0, 1)
+        ]
+        try:
+            outs = [p.communicate(timeout=420)[0] for p in procs]
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
+        if attempt == 0 and any(p.returncode != 0 for p in procs):
+            continue
+        finals = []
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out
+            lines = [l for l in out.splitlines() if l.startswith("FINAL ")]
+            assert lines, out
+            finals.append(lines[-1])
+        # identical final mIoU AND parameter checksum on both processes
+        assert finals[0] == finals[1], finals
+        return
+
+
+def test_process_shard_slices_partition_the_global_batch():
+    """Unit (single-process): the per-process train/eval slices concatenate
+    to exactly the unsharded global batch, including eval's 255-padding of
+    positions past n_real."""
+    import numpy as np
+
+    from bacs_tpu.data.datamodule import DataModule
+    from bacs_tpu.data.datasets import SyntheticSource
+
+    src = SyntheticSource(10, 16, 6, seed=0)
+
+    def make(pid, count):
+        dm = DataModule(src, src, num_classes=6, crop_size=16, batch_size=4)
+        dm.process_index, dm.process_count = pid, count
+        return dm
+
+    # train path (augment=False → deterministic eval transform)
+    full = next(iter(make(0, 1).train_batches(
+        epoch=0, n_devices=2, augment=False)))
+    parts = [
+        next(iter(make(pid, 2).train_batches(
+            epoch=0, n_devices=2, augment=False, process_shard=True)))
+        for pid in (0, 1)
+    ]
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(p["image"]) for p in parts]),
+        np.asarray(full["image"]),
+    )
+    # eval path: 10 samples, global batch 8 → second step has n_real=2,
+    # so process 0 holds both real samples and process 1 is all padding
+    full_steps = list(make(0, 1).eval_batches(0, n_devices=2))
+    part_steps = [
+        list(make(pid, 2).eval_batches(0, n_devices=2, process_shard=True))
+        for pid in (0, 1)
+    ]
+    assert len(full_steps) == 2
+    for s in range(2):
+        np.testing.assert_array_equal(
+            np.concatenate(
+                [np.asarray(part_steps[pid][s]["label"]) for pid in (0, 1)]
+            ),
+            np.asarray(full_steps[s]["label"]),
+        )
+        assert part_steps[0][s]["n_real"] == full_steps[s]["n_real"]
+    assert full_steps[1]["n_real"] == 2
+    # the padded tail is fully ignore-labelled on the pad-only process
+    assert (np.asarray(part_steps[1][1]["label"]) == 255).all()
