@@ -121,6 +121,102 @@ class FolderSource:
         return lbl
 
 
+class DecodedCache:
+    """Cache of a FolderSource's canonical decoded (image, label) pairs.
+
+    PNG/JPEG decode is the host pipeline's measured bottleneck and the
+    reference's DataLoader re-decodes every sample every epoch (reference:
+    dataloaders/base_datamodule.py:341-377 — no decoded cache exists there).
+    Since decode output is a FIXED canonical size×size uint8 pair
+    (`_load_pair`), caching it is lossless: first touch decodes and stores,
+    every later epoch serves raw bytes.
+
+    Two storage modes:
+    * RAM (default, `cache_dir=None`): preallocated anonymous numpy arrays
+      (VOC-512 decoded ≈ 10 GB).  Immune to page-cache eviction — on this
+      Firecracker dev host the guest page cache does NOT retain file pages
+      and cold block reads run ~10 MB/s, which made a disk cache of raw
+      bytes SLOWER than re-decoding the 8×-smaller PNGs (measured,
+      scripts/bench_input.py); anonymous memory sidesteps that entirely.
+    * disk (`cache_dir=...`): three memmaps keyed by a hash of the file
+      list (paths + mtime + size) and the canonical size, persistent
+      across runs, for datasets bigger than host RAM.  The per-sample
+      `valid` flag is written AFTER its pixels, so a crash mid-fill only
+      re-decodes.
+
+    `load_label` intentionally passes through uncached: the class-set scan
+    needs FULL-resolution labels, not the center-cropped canvas.
+    """
+
+    def __init__(self, source: "FolderSource", cache_dir: Optional[str] = None):
+        self.source = source
+        self.size = source.size
+        self.class_names = source.class_names
+        n, s = len(source), source.size
+        if cache_dir is None:  # RAM mode
+            self._imgs = np.zeros((n, s, s, 3), np.uint8)
+            self._lbls = np.zeros((n, s, s), np.uint8)
+            self._valid = np.zeros((n,), np.uint8)
+            return
+        import hashlib
+
+        h = hashlib.blake2b(digest_size=8)
+        h.update(str(source.size).encode())
+        for p in source.image_paths + source.label_paths:
+            st = os.stat(p)
+            h.update(f"{p}:{st.st_mtime_ns}:{st.st_size}".encode())
+        if source._table is not None:
+            h.update(source._table.tobytes())
+        key = h.hexdigest()
+        os.makedirs(cache_dir, exist_ok=True)
+        base = os.path.join(cache_dir, f"decoded_{s}_{key}")
+        self._imgs = np.memmap(
+            base + ".imgs", np.uint8, "r+" if os.path.exists(base + ".imgs")
+            else "w+", shape=(n, s, s, 3),
+        )
+        self._lbls = np.memmap(
+            base + ".lbls", np.uint8, "r+" if os.path.exists(base + ".lbls")
+            else "w+", shape=(n, s, s),
+        )
+        vpath = base + ".valid"
+        fresh = not os.path.exists(vpath)
+        self._valid = np.memmap(vpath, np.uint8, "w+" if fresh else "r+",
+                                shape=(n,))
+        if fresh:
+            self._valid[:] = 0
+            self._valid.flush()
+
+    def __len__(self):
+        return len(self.source)
+
+    def _store(self, i: int, img: np.ndarray, lbl: np.ndarray):
+        self._imgs[i] = img
+        self._lbls[i] = lbl
+        self._valid[i] = 1  # flag last: crash mid-fill → just re-decode
+
+    def load(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        if not self._valid[i]:
+            self._store(i, *self.source.load(i))
+        return np.array(self._imgs[i]), np.array(self._lbls[i])
+
+    def load_batch(self, indices):
+        indices = [int(i) for i in indices]
+        missing = [i for i in dict.fromkeys(indices) if not self._valid[i]]
+        if missing:
+            out = self.source.load_batch(missing)
+            if out is None:  # no native decoder → PIL per sample
+                out = tuple(
+                    np.stack(x)
+                    for x in zip(*[self.source.load(i) for i in missing])
+                )
+            for k, i in enumerate(missing):
+                self._store(i, out[0][k], out[1][k])
+        return np.array(self._imgs[indices]), np.array(self._lbls[indices])
+
+    def load_label(self, i: int) -> np.ndarray:
+        return self.source.load_label(i)
+
+
 class SyntheticSource:
     """Deterministic synthetic segmentation data for tests and benchmarks.
 

@@ -77,22 +77,31 @@ def bench_decode(source, batch_size: int, n_batches: int, native: bool):
     return n_imgs / dt
 
 
-def bench_pipeline(dm, n_devices: int, epochs: int):
-    # one warmup epoch compiles the transform jits; sync via scalar pull
-    # (block_until_ready is unreliable through the axon tunnel)
-    for batch in dm.train_batches(epoch=0, n_devices=n_devices):
-        float(batch["image"][0, 0, 0, 0])
-    _log("pipeline warmup epoch done")
-    t0 = time.perf_counter()
-    n_imgs = 0
-    for ep in range(1, epochs + 1):
-        for batch in dm.train_batches(epoch=ep, n_devices=n_devices):
-            # device→host sync (block_until_ready is unreliable through the
-            # axon tunnel; a scalar pull isn't)
+def bench_pipelines(dms, n_devices: int, epochs: int):
+    """Measure several DataModules' pipelines ROUND-ROBIN, epoch by epoch.
+
+    The pipeline includes the host→device transfer, and on tunneled dev
+    hosts the link bandwidth drifts ~2× at minute timescales — sequential
+    blocks are NOT comparable (the same lesson as bench_serve.py).  One
+    warmup epoch per pipeline compiles the transform jits (and fills any
+    decoded cache); sync via scalar pull (block_until_ready is unreliable
+    through the axon tunnel).
+    """
+    for name, dm in dms.items():
+        for batch in dm.train_batches(epoch=0, n_devices=n_devices):
             float(batch["image"][0, 0, 0, 0])
-            n_imgs += batch["image"].shape[0]
-    dt = time.perf_counter() - t0
-    return n_imgs / dt
+        _log(f"{name}: warmup epoch done")
+    totals = {name: [0, 0.0] for name in dms}
+    for ep in range(1, epochs + 1):
+        for name, dm in dms.items():
+            t0 = time.perf_counter()
+            n = 0
+            for batch in dm.train_batches(epoch=ep, n_devices=n_devices):
+                float(batch["image"][0, 0, 0, 0])
+                n += batch["image"].shape[0]
+            totals[name][0] += n
+            totals[name][1] += time.perf_counter() - t0
+    return {name: n / dt for name, (n, dt) in totals.items()}
 
 
 def main():
@@ -118,17 +127,42 @@ def main():
     )
     _log(f"pil decode {pil_ips:.1f} img/s")
 
+    # decoded-sample cache (bacs_tpu/data/datasets.py DecodedCache;
+    # `dataset.dataset.cache_decoded=true`, RAM mode — the disk/memmap mode
+    # measured SLOWER than re-decoding on this Firecracker host: the guest
+    # page cache does not retain file pages and cold reads run ~10 MB/s,
+    # i.e. 8× the PNG bytes at the same disk speed).  Warmup fills it,
+    # later epochs serve raw bytes.  Host-side read throughput first
+    # (no device/tunnel):
+    from bacs_tpu.data.datasets import DecodedCache
+
+    cached_src = DecodedCache(src)
+    cached_src.load_batch(list(range(len(src))))  # fill
+    cached_read_ips = bench_decode(
+        cached_src, args.batch_size, args.n_batches, native=True
+    )
+    _log(f"cached RAM read {cached_read_ips:.1f} img/s")
+
     val = make_voc_source(args.root, "val", args.crop)
     dm = DataModule(
         src, val, num_classes=21, crop_size=args.crop,
         batch_size=args.batch_size,
     )
-    pipe_ips = bench_pipeline(dm, n_devices=1, epochs=2)
+    dm_cached = DataModule(
+        cached_src, DecodedCache(val),
+        num_classes=21, crop_size=args.crop, batch_size=args.batch_size,
+    )
+    pipes = bench_pipelines(
+        {"uncached": dm, "cached": dm_cached}, n_devices=1, epochs=2
+    )
+    pipe_ips, cached_ips = pipes["uncached"], pipes["cached"]
 
     rows = [
         ("host_native_decode_images_per_sec", native_ips),
         ("host_pil_decode_images_per_sec", pil_ips),
+        ("host_cached_ram_read_images_per_sec", cached_read_ips),
         ("host_input_pipeline_images_per_sec", pipe_ips),
+        ("host_input_pipeline_cached_images_per_sec", cached_ips),
     ]
     for name, v in rows:
         print(json.dumps({
@@ -140,6 +174,13 @@ def main():
     if pipe_ips < DEVICE_IMGS_PER_SEC:
         print(f"# NOTE: pipeline {pipe_ips:.0f} img/s < device "
               f"{DEVICE_IMGS_PER_SEC:.0f} img/s — input-bound on this host")
+    if cached_ips < pipe_ips:
+        print("# NOTE: cached pipeline slower HERE is a tunneled-1-core "
+              "artifact (prefetch upload stops overlapping the sync once "
+              "the worker isn't in GIL-releasing decode; without the "
+              "prefetch thread both tie at the tunnel bound) — the "
+              "production-relevant number is the host-side decode vs "
+              "cached-read ratio above.  See docs/RESULTS.md.")
 
 
 if __name__ == "__main__":
