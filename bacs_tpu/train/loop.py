@@ -196,7 +196,7 @@ class Trainer:
     def _epochs_for(self, task_id: int) -> int:
         return self.epochs if task_id == 0 else self.next_epochs
 
-    def _make_model(self, task: TaskInfo):
+    def _make_model(self, task: TaskInfo, axis_name: str = "inherit"):
         ncfg = dict(self.config.get("network", {}))
         target = ncfg.pop("_target_", "networks.DeepLabV3")
         dtype = jnp.bfloat16 if self.mixed_precision else jnp.float32
@@ -207,7 +207,7 @@ class Trainer:
             use_bg_detector=self.use_bg_detector,
             active_classes=task.nb_current_classes,
             norm=str(ncfg.get("norm", "iabn_sync")),
-            axis_name=self.axis_name,
+            axis_name=self.axis_name if axis_name == "inherit" else axis_name,
             crop_size=self.datamodule.crop_size,
             dtype=dtype,
             **{
@@ -324,6 +324,14 @@ class Trainer:
             model=model, task=task, axis_name=self.axis_name,
             fused_ce=self.fused_ce, spatial_mesh=spatial,
         )
+        # task-BOUNDARY passes (begin_task/end_task buffer population /
+        # prototype sweeps) are plain per-process jits over the full
+        # stream — they need an axis-FREE model (a sync-BN pmean would hit
+        # an unbound named axis outside shard_map; same params either way)
+        boundary_ctx = ctx if self.axis_name is None else ModelContext(
+            model=self._make_model(task, axis_name=None), task=task,
+            axis_name=None, fused_ce=self.fused_ce, spatial_mesh=None,
+        )
         tx = self._make_tx(task)
 
         if self.state is None:
@@ -341,7 +349,8 @@ class Trainer:
 
         # needs_prev_model methods get prev set by end_task of previous task
         self.state = self.method.begin_task(
-            self.state, ctx, dm.train_batches(epoch=0, n_devices=self.n_devices)
+            self.state, boundary_ctx,
+            dm.train_batches(epoch=0, n_devices=self.n_devices),
         )
 
         if self.spatial_partition > 1 and self.mesh is not None:
@@ -537,7 +546,7 @@ class Trainer:
             self.state = localize_to_host(self.state)
         self.state = self.method.end_task(
             self.state,
-            ctx,
+            boundary_ctx,
             dm.train_batches(epoch=0, n_devices=self.n_devices, augment=False),
         )
         if multihost:

@@ -334,3 +334,34 @@ def test_spatial_fused_ce_ops_match_global():
     cm_ref = upsampled_confusion(sem, labels, (H, W), C)
     cm_sp = spatial_upsampled_confusion(sem, labels, (H, W), mesh, C)
     np.testing.assert_array_equal(np.asarray(cm_sp), np.asarray(cm_ref))
+
+
+def test_trainer_bacs_boundary_on_mesh(tmp_path):
+    """Full BACS continual run with a 2-device data mesh: the task-BOUNDARY
+    passes (begin_task/end_task buffer population, prototype sweeps) are
+    plain per-process jits and must run on an axis-FREE model — a sync-BN
+    model with a bound mesh axis would hit an unbound named axis there
+    (latent until round 3: only CE, which has no boundary forwards, was
+    mesh-tested across boundaries)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from bacs_tpu.config import load_config
+    from bacs_tpu.train.loop import Trainer
+
+    config = load_config(
+        "conf/continual_debug", "config",
+        [
+            "+training.n_devices=2",
+            "dataset.dataset.crop_size=32",
+            "loss=bacs",
+            "training.bg_detector=true",
+            "loss.buffer_size=8",
+            "loss.replay_minibatch_size=2",
+        ],
+    )
+    trainer = Trainer(config)
+    assert trainer.mesh is not None and trainer.n_devices == 2
+    miou = trainer.fit()
+    assert np.isfinite(miou) and 0.0 <= miou <= 1.0
+    assert trainer.state.prev_params is not None
+    assert int(trainer.state.buffer.num_seen) > 0

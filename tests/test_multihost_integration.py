@@ -215,3 +215,51 @@ def test_process_shard_slices_partition_the_global_batch():
     assert full_steps[1]["n_real"] == 2
     # the padded tail is fully ignore-labelled on the pad-only process
     assert (np.asarray(part_steps[1][1]["label"]) == 255).all()
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_two_process_trainer_fit_bacs(tmp_path):
+    """The flagship method across 2 processes: HBM replay buffer, seen
+    detector, prototypes and teacher distillation must all stay
+    bit-identical replicated state (buffer population runs the FULL
+    canonical stream on every process)."""
+    worker = TRAINER_WORKER.replace(
+        '["+training.n_devices=4", "dataset.dataset.crop_size=32"],',
+        '["+training.n_devices=4", "dataset.dataset.crop_size=32",\n'
+        '     "loss=bacs", "training.bg_detector=true",\n'
+        '     "loss.buffer_size=8", "loss.replay_minibatch_size=2"],',
+    )
+    assert "loss=bacs" in worker
+    script = tmp_path / "trainer_worker_bacs.py"
+    script.write_text(worker.format(repo=os.path.abspath(REPO)))
+    env = dict(os.environ)
+    for attempt in (0, 1):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(pid), "2", str(port)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                env=env, cwd=os.path.abspath(REPO),
+            )
+            for pid in (0, 1)
+        ]
+        try:
+            outs = [p.communicate(timeout=560)[0] for p in procs]
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
+        if attempt == 0 and any(p.returncode != 0 for p in procs):
+            continue
+        finals = []
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out
+            lines = [l for l in out.splitlines() if l.startswith("FINAL ")]
+            assert lines, out
+            finals.append(lines[-1])
+        assert finals[0] == finals[1], finals
+        return
