@@ -53,30 +53,89 @@ class MiBMethod(Method):
                 ctx, params, state, image, mask, train, rng,
                 use_weighted_ce=task.old_classes != 0,
             )
-            logits = out.logits[..., : ctx.n_cur]
         else:
             out, new_bs = ctx.forward(params, state.batch_stats, image, train, rng)
-            logits = out.logits[..., : ctx.n_cur]
-            if task.old_classes != 0 and train:
-                nll = unbiased_cross_entropy(
-                    logits, mask, task.old_classes, self.ignore_index,
-                    reduction="none",
-                )
-            else:
-                nll = cross_entropy(
-                    logits, mask, self.ignore_index, reduction="none"
-                )
-            loss = jnp.mean(nll)  # mean over ALL pixels (reference quirk)
+            loss = self._mib_ce(ctx, out, mask, train)
 
         if do_distill:
             old_out = ctx.forward_prev(state, image)
-            old_logits = old_out.logits[..., : task.old_classes]
-            loss = loss + self.lkd * unbiased_knowledge_distillation(
-                logits, old_logits, alpha=1.0
-            )
+            loss = loss + self.lkd * self._ukd(ctx, out, old_out, mask)
 
         updates = self.prototype_updates(ctx, state, out.penultimate, mask, train)
         return loss, StepAux(
-            logits=logits, batch_stats=new_bs, state_updates=updates, metrics={},
+            logits=out.logits[..., : ctx.n_cur],
+            batch_stats=new_bs, state_updates=updates, metrics={},
             sem_logits=out.sem_logits[..., : ctx.n_cur],
+        )
+
+    def _mib_ce(self, ctx: ModelContext, out, mask, train):
+        """(Unbiased when old classes exist and training) CE with MiB's
+        mean-over-ALL-pixels reduction (reference: mib.py:23,73-76 —
+        ignored pixels contribute 0 to the numerator but count in the
+        denominator), through the fused upsample+CE gate: on the kernel
+        paths the full-res logits never materialize."""
+        task = ctx.task
+        sem = out.sem_logits[..., : ctx.n_cur]
+        unbiased = task.old_classes != 0 and train
+        use_fused, spatial = self._fused_gate(ctx, sem, mask)
+        n_tot = mask.shape[0] * mask.shape[1] * mask.shape[2]
+        if use_fused and spatial is not None:
+            from bacs_tpu.ops.upsample_ce import spatial_upsampled_mib_ce
+
+            return spatial_upsampled_mib_ce(
+                sem, mask, mask.shape[1:3], spatial,
+                task.old_classes if unbiased else 0, self.ignore_index,
+            )
+        if use_fused:
+            from bacs_tpu.ops.upsample_ce import (
+                upsampled_ce_sums,
+                upsampled_uce_sums,
+            )
+
+            if unbiased:
+                ls, _ = upsampled_uce_sums(
+                    sem, mask, mask.shape[1:3], task.old_classes,
+                    self.ignore_index, None,
+                )
+            else:
+                ls, _ = upsampled_ce_sums(
+                    sem, mask, mask.shape[1:3], self.ignore_index, None
+                )
+            return ls / n_tot
+        logits = out.logits[..., : ctx.n_cur]
+        if unbiased:
+            nll = unbiased_cross_entropy(
+                logits, mask, task.old_classes, self.ignore_index,
+                reduction="none",
+            )
+        else:
+            nll = cross_entropy(
+                logits, mask, self.ignore_index, reduction="none"
+            )
+        return jnp.mean(nll)  # mean over ALL pixels (reference quirk)
+
+    def _ukd(self, ctx: ModelContext, out, old_out, mask):
+        """Unbiased KD vs the frozen previous model through the fused gate —
+        neither the student's nor the teacher's full-res logits exist on the
+        kernel path (the teacher side is stop-gradient by KD semantics)."""
+        task = ctx.task
+        sem_new = out.sem_logits[..., : ctx.n_cur]
+        sem_old = old_out.sem_logits[..., : task.old_classes]
+        use_fused, spatial = self._fused_gate(ctx, sem_new, mask)
+        if use_fused and spatial is not None:
+            from bacs_tpu.ops.upsample_ce import spatial_upsampled_unbiased_kd
+
+            return spatial_upsampled_unbiased_kd(
+                sem_new, sem_old, mask.shape[1:3], spatial, alpha=1.0
+            )
+        if use_fused:
+            from bacs_tpu.ops.upsample_ce import upsampled_unbiased_kd
+
+            return upsampled_unbiased_kd(
+                sem_new, sem_old, mask.shape[1:3], alpha=1.0
+            )
+        return unbiased_knowledge_distillation(
+            out.logits[..., : ctx.n_cur],
+            old_out.logits[..., : task.old_classes],
+            alpha=1.0,
         )

@@ -861,6 +861,405 @@ def upsampled_bacs_weighted_ce(
 
 
 # ---------------------------------------------------------------------------
+# MiB unbiased CE + unbiased KD (reference: training/loss_utils.py:447-520
+# used by loss/mib.py): both terms consume FULL-RESOLUTION upsampled logits
+# in the reference — at 512² b16 that is three ~0.35 GB tensors per step
+# (new fwd for UCE, its bwd, old fwd for UKD).  These kernels fuse each
+# term with the bilinear upsample so none of them materializes.
+# ---------------------------------------------------------------------------
+
+
+def _uce_sums_jnp(sem, labels, kh, kw, old_classes, ignore_index):
+    from bacs_tpu.ops.losses import unbiased_cross_entropy
+
+    up = _upsample_jnp(sem, kh, kw)
+    nll = unbiased_cross_entropy(
+        up, labels, old_classes, ignore_index, reduction="none"
+    )
+    mask = labels != ignore_index
+    return jnp.sum(nll), jnp.sum(mask.astype(jnp.float32))
+
+
+def _uce_terms(tile, labels, old_classes):
+    """Per-block unbiased-CE loss/grad: old-class (and bg) targets score the
+    COLLAPSED old-probability mass (= `_bacs_terms`' new-vs-rest term on its
+    own; hand-derived composite softmax gradients)."""
+    c_pad = tile.shape[1]
+    m = jnp.max(tile, axis=1, keepdims=True)
+    e = jnp.exp(tile - m)  # pad channels are -1e30 -> e == 0
+    se = jnp.sum(e, axis=1, keepdims=True)
+    p = e / se
+    den = m[:, 0, :] + jnp.log(se[:, 0, :])
+
+    valid = labels != 255
+    safe = jnp.where(valid, labels, 0)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad, 1), 1)
+    onehot = (ch == safe[:, None, :]).astype(jnp.float32)
+    is_old_ch = (ch < old_classes).astype(jnp.float32)
+
+    eps = 1e-30
+    e_old = e * is_old_ch
+    se_old = jnp.sum(e_old, axis=1, keepdims=True)
+    lse_old = m[:, 0, :] + jnp.log(se_old[:, 0, :] + eps)
+    s_old = e_old / (se_old + eps)
+    lab_logit = jnp.sum(onehot * tile, axis=1)
+
+    is_old_pix = (safe < old_classes)
+    l = jnp.where(is_old_pix, den - lse_old, den - lab_logit)
+    g = jnp.where(is_old_pix[:, None, :], p - s_old, p - onehot)
+    vm = valid.astype(jnp.float32)
+    return l * vm, g * vm[:, None, :]
+
+
+def _uce_fwd_kernel(starts_ref, z_ref, labels_ref, kh_ref, out_ref, *, hb,
+                    old_classes):
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    start = starts_ref[j]
+    zs = z_ref[0, pl.ds(start, hb)]
+    ky = kh_ref[0]
+    tile = jnp.einsum("Rh,hcW->RcW", ky, zs, preferred_element_type=jnp.float32)
+    labels = labels_ref[0]
+    loss_map, _ = _uce_terms(tile, labels, old_classes)
+    loss_sum = jnp.sum(loss_map)
+    count = jnp.sum((labels != 255).astype(jnp.float32))
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    out_ref[0] += jnp.where((row == 0) & (col == 0), loss_sum, 0.0) + jnp.where(
+        (row == 0) & (col == 1), count, 0.0
+    )
+
+
+def _uce_bwd_kernel(starts_ref, z_ref, labels_ref, kh_ref, g_ref, dz_ref, *,
+                    hb, old_classes):
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        dz_ref[...] = jnp.zeros_like(dz_ref)
+
+    start = starts_ref[j]
+    zs = z_ref[0, pl.ds(start, hb)]
+    ky = kh_ref[0]
+    tile = jnp.einsum("Rh,hcW->RcW", ky, zs, preferred_element_type=jnp.float32)
+    _, grad = _uce_terms(tile, labels_ref[0], old_classes)
+    g = g_ref[0, 0]
+    upd = jnp.einsum(
+        "Rh,RcW->hcW", ky, grad * g, preferred_element_type=jnp.float32
+    )
+    dz_ref[0, pl.ds(start, hb)] += upd
+
+
+def _uce_pallas(sem, labels, kh, kw, old_classes, want_grad, g=None):
+    import jax.experimental.pallas as pl
+
+    lead, specs, dims = _prep_call(sem, labels, kh, kw)
+    statics = dict(hb=dims["hb"], old_classes=old_classes)
+    if not want_grad:
+        out_shape, out_spec = _sum_out_spec(dims)
+        out = pl.pallas_call(
+            partial(_uce_fwd_kernel, **statics),
+            out_shape=out_shape,
+            grid=dims["grid"],
+            in_specs=specs,
+            out_specs=out_spec,
+            compiler_params=tpu_compiler_params(),
+        )(*lead)
+        return jnp.sum(out[:, 0, 0]), jnp.sum(out[:, 0, 1])
+    out_shape, out_spec = _dz_out_spec(dims)
+    dz = pl.pallas_call(
+        partial(_uce_bwd_kernel, **statics),
+        out_shape=out_shape,
+        grid=dims["grid"],
+        in_specs=specs + [_g_spec()],
+        out_specs=out_spec,
+        compiler_params=tpu_compiler_params(),
+    )(*lead, g.reshape(1, 1))
+    dsem = jnp.einsum("Ww,nhcW->nhwc", jnp.asarray(kw),
+                      dz[:, :, : sem.shape[-1], :])
+    return dsem.astype(sem.dtype)
+
+
+def _uce_sums(sem, labels, out_hw, old_classes, ignore_index, interp):
+    kh, kw = _kmats(sem, out_hw, interp)
+    if _use_pallas(sem, out_hw) and ignore_index == 255:
+        return _uce_pallas(sem, labels, kh, kw, old_classes, want_grad=False)
+    return _uce_sums_jnp(sem, labels, kh, kw, old_classes, ignore_index)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def upsampled_uce_sums(
+    sem_logits: Array,
+    labels: Array,
+    out_hw: Tuple[int, int],
+    old_classes: int,
+    ignore_index: int,
+    interp: Optional[Tuple[float, float]],
+) -> Tuple[Array, Array]:
+    """(Σ unbiased-CE(upsample(sem), labels) over valid pixels, valid count).
+
+    MiB divides the sum by the TOTAL pixel count (its mean-over-ALL-pixels
+    reduction quirk); the count output serves callers wanting a true mean."""
+    return _uce_sums(sem_logits, labels, out_hw, old_classes, ignore_index,
+                     interp)
+
+
+def _uuce_fwd(sem, labels, out_hw, old_classes, ignore_index, interp):
+    out = _uce_sums(sem, labels, out_hw, old_classes, ignore_index, interp)
+    return out, (sem, labels)
+
+
+def _uuce_bwd(out_hw, old_classes, ignore_index, interp, res, g):
+    g_sum = g[0]  # the count output carries no sem gradient
+    sem, labels = res
+    kh, kw = _kmats(sem, out_hw, interp)
+    if _use_pallas(sem, out_hw) and ignore_index == 255:
+        dsem = _uce_pallas(sem, labels, kh, kw, old_classes, want_grad=True,
+                           g=g_sum.astype(jnp.float32))
+        return dsem, None
+    dsem = jax.grad(
+        lambda s: _uce_sums_jnp(s, labels, kh, kw, old_classes,
+                                ignore_index)[0] * g_sum
+    )(sem)
+    return dsem, None
+
+
+upsampled_uce_sums.defvjp(_uuce_fwd, _uuce_bwd)
+
+
+def upsampled_unbiased_cross_entropy(
+    sem_logits: Array,
+    labels: Array,
+    out_hw: Tuple[int, int],
+    old_classes: int,
+    ignore_index: int = 255,
+) -> Array:
+    """mean over VALID pixels of MiB's unbiased CE of the upsampled logits
+    (ops/losses.unbiased_cross_entropy semantics)."""
+    ls, ct = upsampled_uce_sums(
+        sem_logits, labels, out_hw, old_classes, ignore_index, None
+    )
+    return ls / jnp.maximum(ct, 1.0)
+
+
+def _ukd_sum_jnp(sem_new, sem_old, kh, kw, alpha):
+    from bacs_tpu.ops.losses import unbiased_knowledge_distillation
+
+    up_n = _upsample_jnp(sem_new, kh, kw)
+    up_o = _upsample_jnp(sem_old, kh, kw)
+    n_tot = up_n.shape[0] * up_n.shape[1] * up_n.shape[2]
+    # the op's primitive is the raw SUM T with loss = -T / n_tot
+    return -unbiased_knowledge_distillation(up_n, up_o, alpha=alpha) * n_tot
+
+
+def _ukd_terms(tile_new, tile_old, c_old, alpha):
+    """Per-block UKD: T_pix = [q₀·lse_G + Σ_{1≤i<c_old} qᵢ·zᵢ − lse] / c_old
+    with q = softmax(α·old), G = {bg} ∪ {new classes} (the student's bg+new
+    mass matches the teacher's bg); dT/dz = [q₀·σ_G + q·1_old − p] / c_old.
+    The teacher side is stop-gradient by KD semantics."""
+    c_pad = tile_new.shape[1]
+    ch = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad, 1), 1)
+    old_nb = ((ch >= 1) & (ch < c_old)).astype(jnp.float32)
+    gmask = ((ch == 0) | (ch >= c_old)).astype(jnp.float32)
+
+    to = tile_old * alpha
+    mo = jnp.max(to, axis=1, keepdims=True)
+    eo = jnp.exp(to - mo)  # pad channels are alpha·(-1e30) -> e == 0
+    q = eo / jnp.sum(eo, axis=1, keepdims=True)
+    # every [R, W]-rank quantity stays keepdims [R, 1, W]: Mosaic rejects
+    # the relayout created by ARITHMETIC between sublane-reduced 2D vectors
+    # here ("non-singleton dim replicated in destination"); broadcasting
+    # [R,1,W] against [R,c,W] is the proven pattern of the other kernels
+    q0 = jnp.sum(jnp.where(ch == 0, q, 0.0), axis=1, keepdims=True)
+
+    m = jnp.max(tile_new, axis=1, keepdims=True)
+    e = jnp.exp(tile_new - m)
+    se = jnp.sum(e, axis=1, keepdims=True)
+    p = e / se
+    den = m + jnp.log(se)
+    eps = 1e-30
+    eg = e * gmask
+    seg = jnp.sum(eg, axis=1, keepdims=True)
+    lse_g = m + jnp.log(seg + eps)
+    sg = eg / (seg + eps)
+
+    sz = jnp.sum(q * old_nb * tile_new, axis=1, keepdims=True)
+    t = (q0 * lse_g + sz - den) / c_old  # [R, 1, W]
+    g = (q0 * sg + q * old_nb - p) / c_old
+    return t, g
+
+
+def _prep_call_pair(sem_new, sem_old, kh, kw):
+    """pallas_call scaffolding for the two-logit (student, teacher) kernels:
+    both W-interped to [n, h, c_pad, W] with the teacher NEG-padded to the
+    STUDENT's channel tile so all per-pixel math is elementwise."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, _, _ = sem_new.shape
+    H, W = kh.shape[0], kw.shape[0]
+    z_new = _w_interp(sem_new, kw)
+    c_pad = z_new.shape[2]
+    z_old = _w_interp(sem_old, kw)
+    if z_old.shape[2] < c_pad:
+        z_old = jnp.pad(
+            z_old, ((0, 0), (0, 0), (0, c_pad - z_old.shape[2]), (0, 0)),
+            constant_values=NEG,
+        )
+    starts, kh_blocks = _block_kh(kh, ROW_BLOCK)
+    hb = kh_blocks.shape[2]
+    z_spec = pl.BlockSpec((1, h, c_pad, W), lambda i, j: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    args = (starts, z_new, z_old, kh_blocks)
+    specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        z_spec,
+        z_spec,
+        pl.BlockSpec((1, ROW_BLOCK, hb), lambda i, j: (j, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dims = dict(n=n, h=h, H=H, W=W, c_pad=c_pad, hb=hb,
+                grid=(n, H // ROW_BLOCK))
+    return args, specs, dims
+
+
+def _ukd_fwd_kernel(starts_ref, zn_ref, zo_ref, kh_ref, out_ref, *, hb,
+                    c_old, alpha):
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    start = starts_ref[j]
+    ky = kh_ref[0]
+    tn = jnp.einsum("Rh,hcW->RcW", ky, zn_ref[0, pl.ds(start, hb)],
+                    preferred_element_type=jnp.float32)
+    to = jnp.einsum("Rh,hcW->RcW", ky, zo_ref[0, pl.ds(start, hb)],
+                    preferred_element_type=jnp.float32)
+    t, _ = _ukd_terms(tn, to, c_old, alpha)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    out_ref[0] += jnp.where((row == 0) & (col == 0), jnp.sum(t), 0.0)
+
+
+def _ukd_bwd_kernel(starts_ref, zn_ref, zo_ref, kh_ref, g_ref, dz_ref, *, hb,
+                    c_old, alpha):
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        dz_ref[...] = jnp.zeros_like(dz_ref)
+
+    start = starts_ref[j]
+    ky = kh_ref[0]
+    tn = jnp.einsum("Rh,hcW->RcW", ky, zn_ref[0, pl.ds(start, hb)],
+                    preferred_element_type=jnp.float32)
+    to = jnp.einsum("Rh,hcW->RcW", ky, zo_ref[0, pl.ds(start, hb)],
+                    preferred_element_type=jnp.float32)
+    _, grad = _ukd_terms(tn, to, c_old, alpha)
+    g = g_ref[0, 0]
+    upd = jnp.einsum(
+        "Rh,RcW->hcW", ky, grad * g, preferred_element_type=jnp.float32
+    )
+    dz_ref[0, pl.ds(start, hb)] += upd
+
+
+def _ukd_pallas(sem_new, sem_old, kh, kw, alpha, want_grad, g=None):
+    import jax.experimental.pallas as pl
+
+    lead, specs, dims = _prep_call_pair(sem_new, sem_old, kh, kw)
+    statics = dict(hb=dims["hb"], c_old=sem_old.shape[-1], alpha=alpha)
+    if not want_grad:
+        out_shape, out_spec = _sum_out_spec(dims)
+        out = pl.pallas_call(
+            partial(_ukd_fwd_kernel, **statics),
+            out_shape=out_shape,
+            grid=dims["grid"],
+            in_specs=specs,
+            out_specs=out_spec,
+            compiler_params=tpu_compiler_params(),
+        )(*lead)
+        return jnp.sum(out[:, 0, 0])
+    out_shape, out_spec = _dz_out_spec(dims)
+    dz = pl.pallas_call(
+        partial(_ukd_bwd_kernel, **statics),
+        out_shape=out_shape,
+        grid=dims["grid"],
+        in_specs=specs + [_g_spec()],
+        out_specs=out_spec,
+        compiler_params=tpu_compiler_params(),
+    )(*lead, g.reshape(1, 1))
+    dsem = jnp.einsum("Ww,nhcW->nhwc", jnp.asarray(kw),
+                      dz[:, :, : sem_new.shape[-1], :])
+    return dsem.astype(sem_new.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def upsampled_ukd_sum(
+    sem_new: Array,
+    sem_old: Array,
+    out_hw: Tuple[int, int],
+    alpha: float,
+    interp: Optional[Tuple[float, float]],
+) -> Array:
+    """Raw SUM T of MiB's unbiased KD over the upsampled logit pair —
+    loss = −T / n_pixels.  The teacher (`sem_old`) cotangent is hard zero
+    (KD semantics: the reference detaches the old model's outputs)."""
+    kh, kw = _kmats(sem_new, out_hw, interp)
+    if _use_pallas(sem_new, out_hw):
+        return _ukd_pallas(sem_new, sem_old, kh, kw, alpha, want_grad=False)
+    return _ukd_sum_jnp(sem_new, sem_old, kh, kw, alpha)
+
+
+def _uukd_fwd(sem_new, sem_old, out_hw, alpha, interp):
+    t = upsampled_ukd_sum(sem_new, sem_old, out_hw, alpha, interp)
+    return t, (sem_new, sem_old)
+
+
+def _uukd_bwd(out_hw, alpha, interp, res, g):
+    sem_new, sem_old = res
+    kh, kw = _kmats(sem_new, out_hw, interp)
+    if _use_pallas(sem_new, out_hw):
+        dsem = _ukd_pallas(sem_new, sem_old, kh, kw, alpha, want_grad=True,
+                           g=g.astype(jnp.float32))
+        return dsem, jnp.zeros_like(sem_old)
+    dsem = jax.grad(
+        lambda s: _ukd_sum_jnp(s, sem_old, kh, kw, alpha) * g
+    )(sem_new)
+    return dsem, jnp.zeros_like(sem_old)
+
+
+upsampled_ukd_sum.defvjp(_uukd_fwd, _uukd_bwd)
+
+
+def upsampled_unbiased_kd(
+    sem_new: Array,
+    sem_old: Array,
+    out_hw: Tuple[int, int],
+    alpha: float = 1.0,
+) -> Array:
+    """MiB's unbiased KD of the bilinear-upsampled logit pair, mean over ALL
+    pixels (ops/losses.unbiased_knowledge_distillation semantics) — neither
+    full-res logit tensor materializes."""
+    t = upsampled_ukd_sum(sem_new, sem_old, out_hw, alpha, None)
+    n_tot = sem_new.shape[0] * out_hw[0] * out_hw[1]
+    return -t / n_tot
+
+
+# ---------------------------------------------------------------------------
 # GSPMD spatial-partitioning composition: shard_map the kernels over a
 # (data, space) mesh.  Each space shard owns H/S output rows; its input
 # window needs exactly ONE neighbor row per side (8× bilinear upsample),
@@ -1002,3 +1401,68 @@ def spatial_upsampled_bacs_weighted_ce(
         out_specs=P(),
         check_vma=False,
     )(sem_logits, labels, max_seen)
+
+
+def spatial_upsampled_mib_ce(
+    sem_logits: Array,
+    labels: Array,
+    out_hw: Tuple[int, int],
+    mesh,
+    old_classes: int,
+    ignore_index: int = 255,
+) -> Array:
+    """MiB's CE term under a (data, space) mesh: unbiased CE when
+    `old_classes > 0`, plain CE otherwise, mean over ALL pixels (the
+    reference's reduction quirk — ignored pixels count in the denominator)."""
+    n_space, H_loc, interp = _spatial_spec(mesh, out_hw, sem_logits.shape[1])
+
+    def body(sem_l, labels_l):
+        padded = _halo_pad(sem_l, "space", n_space)
+        if old_classes:
+            ls, _ = upsampled_uce_sums(
+                padded, labels_l, (H_loc, out_hw[1]), old_classes,
+                ignore_index, interp,
+            )
+        else:
+            ls, _ = upsampled_ce_sums(
+                padded, labels_l, (H_loc, out_hw[1]), ignore_index, interp
+            )
+        ls = jax.lax.psum(ls, ("data", "space"))
+        n_loc = labels_l.shape[0] * labels_l.shape[1] * labels_l.shape[2]
+        n_tot = jax.lax.psum(jnp.float32(n_loc), ("data", "space"))
+        return ls / n_tot
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data", "space"), P("data", "space")),
+        out_specs=P(),
+        check_vma=False,
+    )(sem_logits, labels)
+
+
+def spatial_upsampled_unbiased_kd(
+    sem_new: Array,
+    sem_old: Array,
+    out_hw: Tuple[int, int],
+    mesh,
+    alpha: float = 1.0,
+) -> Array:
+    """`upsampled_unbiased_kd` under a (data, space) mesh (both logit pairs
+    sharded identically; the teacher's halo rows ride the same ppermute)."""
+    n_space, H_loc, interp = _spatial_spec(mesh, out_hw, sem_new.shape[1])
+
+    def body(sn, so):
+        pn = _halo_pad(sn, "space", n_space)
+        po = _halo_pad(so, "space", n_space)
+        t = upsampled_ukd_sum(pn, po, (H_loc, out_hw[1]), alpha, interp)
+        t = jax.lax.psum(t, ("data", "space"))
+        n_loc = sn.shape[0] * H_loc * out_hw[1]
+        n_tot = jax.lax.psum(jnp.float32(n_loc), ("data", "space"))
+        return -t / n_tot
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data", "space"), P("data", "space")),
+        out_specs=P(),
+        check_vma=False,
+    )(sem_new, sem_old)

@@ -118,6 +118,35 @@ def main(smoke: bool = False):
     report("upsample_bacs_wce_value", vk, vr, 2e-3)
     report("upsample_bacs_wce_grad", gk, gr, 5e-2)
 
+    # ---- MiB unbiased CE: value + gradient ----
+    from bacs_tpu.ops.upsample_ce import (
+        upsampled_unbiased_cross_entropy,
+        upsampled_unbiased_kd,
+    )
+
+    def mce(s):
+        return upsampled_unbiased_cross_entropy(
+            s, labels, out, old_classes=16
+        )
+
+    vk, gk = jax.value_and_grad(mce)(sem)
+    with fallback(uce):
+        vr, gr = jax.value_and_grad(mce)(sem)
+    report("upsample_uce_value", vk, vr, 2e-3)
+    report("upsample_uce_grad", gk, gr, 5e-2)
+
+    # ---- MiB unbiased KD (two-logit kernel): value + gradient ----
+    sem_old = jnp.asarray(rs.randn(n, h, w, 16).astype(np.float32))
+
+    def ukd(s):
+        return upsampled_unbiased_kd(s, sem_old, out, alpha=1.0)
+
+    vk, gk = jax.value_and_grad(ukd)(sem)
+    with fallback(uce):
+        vr, gr = jax.value_and_grad(ukd)(sem)
+    report("upsample_ukd_value", vk, vr, 2e-3)
+    report("upsample_ukd_grad", gk, gr, 5e-2, floor=1e-7)
+
     # ---- argmax confusion matrix ----
     # Row sums (per-true-class pixel counts) must match EXACTLY; the
     # assignments themselves may flip on argmax near-ties at bilinear

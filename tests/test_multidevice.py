@@ -335,6 +335,47 @@ def test_spatial_fused_ce_ops_match_global():
     cm_sp = spatial_upsampled_confusion(sem, labels, (H, W), mesh, C)
     np.testing.assert_array_equal(np.asarray(cm_sp), np.asarray(cm_ref))
 
+    # MiB's fused terms: mean-over-ALL (U)CE and the two-logit unbiased KD
+    from bacs_tpu.ops.upsample_ce import (
+        spatial_upsampled_mib_ce,
+        spatial_upsampled_unbiased_kd,
+        upsampled_ce_sums,
+        upsampled_uce_sums,
+        upsampled_unbiased_kd,
+    )
+
+    sem_old = jnp.asarray(rng.randn(N, h, w, 3).astype(np.float32))
+    n_tot = N * H * W
+
+    def mib_uce_ref(s):
+        return upsampled_uce_sums(s, labels, (H, W), 3, 255, None)[0] / n_tot
+
+    def mib_ce_ref(s):
+        return upsampled_ce_sums(s, labels, (H, W), 255, None)[0] / n_tot
+
+    mib_cases = [
+        (
+            mib_uce_ref,
+            lambda s: spatial_upsampled_mib_ce(s, labels, (H, W), mesh, 3),
+        ),
+        (
+            mib_ce_ref,
+            lambda s: spatial_upsampled_mib_ce(s, labels, (H, W), mesh, 0),
+        ),
+        (
+            lambda s: upsampled_unbiased_kd(s, sem_old, (H, W)),
+            lambda s: spatial_upsampled_unbiased_kd(s, sem_old, (H, W), mesh),
+        ),
+    ]
+    for i, (ref_fn, sp_fn) in enumerate(mib_cases):
+        ref, g_ref = jax.value_and_grad(ref_fn)(sem)
+        sp, g_sp = jax.value_and_grad(sp_fn)(sem)
+        np.testing.assert_allclose(float(sp), float(ref), rtol=1e-5,
+                                   err_msg=f"mib case {i} value")
+        np.testing.assert_allclose(np.asarray(g_sp), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-6,
+                                   err_msg=f"mib case {i} grad")
+
 
 def test_trainer_bacs_boundary_on_mesh(tmp_path):
     """Full BACS continual run with a 2-device data mesh: the task-BOUNDARY

@@ -81,6 +81,129 @@ def test_upsampled_confusion_matches_composed(rng):
     )
 
 
+def test_unbiased_ce_value_and_grad_match_composed(rng):
+    """MiB UCE variant vs resize + ops/losses.unbiased_cross_entropy."""
+    from bacs_tpu.ops.losses import unbiased_cross_entropy
+    from bacs_tpu.ops.upsample_ce import upsampled_unbiased_cross_entropy
+
+    OLD = 3
+    sem = jnp.asarray(rng.randn(2, 8, 8, 6).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 6, (2, 32, 32)).astype(np.int32))
+    labels = labels.at[0, :4].set(255)
+    labels = labels.at[1, :6].set(1)  # exercise the collapsed-old branch
+
+    def composed(s):
+        up = resize_bilinear(s.astype(jnp.float32), (32, 32),
+                             align_corners=False)
+        return unbiased_cross_entropy(up, labels, OLD, 255)
+
+    fused = upsampled_unbiased_cross_entropy(sem, labels, (32, 32), OLD, 255)
+    np.testing.assert_allclose(float(fused), float(composed(sem)), rtol=1e-5)
+    g1 = jax.grad(
+        lambda s: upsampled_unbiased_cross_entropy(s, labels, (32, 32), OLD,
+                                                   255)
+    )(sem)
+    g2 = jax.grad(composed)(sem)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
+                               atol=1e-6)
+
+
+def test_unbiased_kd_value_and_grad_match_composed(rng):
+    """MiB UKD variant vs resize-both + unbiased_knowledge_distillation;
+    the teacher cotangent must be hard zero (KD detaches the old model)."""
+    from bacs_tpu.ops.losses import unbiased_knowledge_distillation
+    from bacs_tpu.ops.upsample_ce import upsampled_unbiased_kd
+
+    OLD = 4
+    sem_new = jnp.asarray(rng.randn(2, 8, 8, 6).astype(np.float32))
+    sem_old = jnp.asarray(rng.randn(2, 8, 8, OLD).astype(np.float32))
+
+    def composed(sn):
+        up_n = resize_bilinear(sn.astype(jnp.float32), (32, 32),
+                               align_corners=False)
+        up_o = resize_bilinear(sem_old.astype(jnp.float32), (32, 32),
+                               align_corners=False)
+        return unbiased_knowledge_distillation(up_n, up_o, alpha=1.0)
+
+    fused = upsampled_unbiased_kd(sem_new, sem_old, (32, 32), alpha=1.0)
+    np.testing.assert_allclose(float(fused), float(composed(sem_new)),
+                               rtol=1e-5)
+    g1, g_old = jax.grad(
+        lambda sn, so: upsampled_unbiased_kd(sn, so, (32, 32), 1.0),
+        argnums=(0, 1),
+    )(sem_new, sem_old)
+    g2 = jax.grad(composed)(sem_new)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_old), 0.0, atol=0.0)
+
+
+def test_uce_terms_match_autodiff(rng):
+    """The hand-derived per-pixel loss/grad of the UCE kernel
+    (ops/upsample_ce._uce_terms) vs autodiff through the golden formula."""
+    from bacs_tpu.ops.losses import unbiased_cross_entropy
+    from bacs_tpu.ops.upsample_ce import NEG, _uce_terms
+
+    R, C, W, OLD = 4, 7, 8, 5
+    tile = jnp.asarray(rng.randn(R, C, W).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, C, (R, W)).astype(np.int32))
+    labels = labels.at[0, :2].set(255)
+    labels = labels.at[1, :4].set(0)
+    c_pad = 8
+    tile_p = jnp.pad(tile, ((0, 0), (0, c_pad - C), (0, 0)),
+                     constant_values=NEG)
+
+    def composed(t):
+        x = jnp.transpose(t, (0, 2, 1))[None]
+        return unbiased_cross_entropy(
+            x, labels[None], OLD, 255, reduction="none"
+        ).sum()
+
+    loss_map, grad = _uce_terms(tile_p, labels, OLD)
+    np.testing.assert_allclose(float(jnp.sum(loss_map)),
+                               float(composed(tile)), rtol=1e-5)
+    g_ref = jax.grad(composed)(tile)
+    np.testing.assert_allclose(np.asarray(grad[:, :C, :]), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(grad[:, C:, :]), 0.0, atol=1e-30)
+
+
+def test_ukd_terms_match_autodiff(rng):
+    """The hand-derived per-pixel T/grad of the UKD kernel
+    (ops/upsample_ce._ukd_terms) vs autodiff through the golden formula;
+    the teacher tile is NEG-padded to the student's channel count exactly
+    as _prep_call_pair does."""
+    from bacs_tpu.ops.losses import unbiased_knowledge_distillation
+    from bacs_tpu.ops.upsample_ce import NEG, _ukd_terms
+
+    R, C, W, OLD = 4, 7, 8, 5
+    tile_n = jnp.asarray(rng.randn(R, C, W).astype(np.float32))
+    tile_o = jnp.asarray(rng.randn(R, OLD, W).astype(np.float32))
+    c_pad = 16
+    tn_p = jnp.pad(tile_n, ((0, 0), (0, c_pad - C), (0, 0)),
+                   constant_values=NEG)
+    to_p = jnp.pad(tile_o, ((0, 0), (0, c_pad - OLD), (0, 0)),
+                   constant_values=NEG)
+
+    for alpha in (1.0, 0.7):
+        def composed(tn, alpha=alpha):
+            new = jnp.transpose(tn, (0, 2, 1))[None]
+            old = jnp.transpose(tile_o, (0, 2, 1))[None]
+            # T_sum = -loss · n_pixels
+            return -unbiased_knowledge_distillation(
+                new, old, alpha=alpha
+            ) * (R * W)
+
+        t_map, grad = _ukd_terms(tn_p, to_p, OLD, alpha)
+        np.testing.assert_allclose(float(jnp.sum(t_map)),
+                                   float(composed(tile_n)), rtol=1e-5)
+        g_ref = jax.grad(composed)(tile_n)
+        np.testing.assert_allclose(np.asarray(grad[:, :C, :]),
+                                   np.asarray(g_ref), rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(grad[:, C:, :]), 0.0,
+                                   atol=1e-30)
+
+
 def test_bacs_weighted_terms_match_autodiff(rng):
     """The hand-derived per-pixel loss/grad in ops/upsample_ce._bacs_terms
     (the in-kernel math of upsampled_bacs_weighted_ce) must match autodiff
