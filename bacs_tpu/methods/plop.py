@@ -116,18 +116,12 @@ class PlopMethod(Method):
             atts_old = None
             if do_distill:
                 old_out = ctx.forward_prev(state, image)
-                old_logits = old_out.logits[..., : task.old_classes]
                 atts_old = old_out.attentions + (
                     old_out.sem_logits[..., : task.old_classes],
                 )
-                pseudo_mask, factor = self._pseudo_labels(state, mask, old_logits)
-                nll = cross_entropy(
-                    logits, pseudo_mask, self.ignore_index, reduction="none"
-                )
-                loss = jnp.mean(factor[:, None, None] * nll)
+                loss = self._pseudo_ce(ctx, state, out, old_out, mask)
             else:
-                nll = cross_entropy(logits, mask, self.ignore_index, reduction="none")
-                loss = jnp.mean(nll)
+                loss = self._plain_ce(ctx, out, mask)
 
         if do_distill and atts_old is not None:
             pod = features_distillation(
@@ -147,6 +141,83 @@ class PlopMethod(Method):
             logits=logits, batch_stats=new_bs, state_updates=updates, metrics={},
             sem_logits=out.sem_logits[..., : ctx.n_cur],
         )
+
+    def _plain_ce(self, ctx: ModelContext, out, mask):
+        """Plain CE with PLOP's mean-over-ALL-pixels reduction, through the
+        fused upsample+CE gate (full-res logits never exist on the kernel
+        paths)."""
+        sem = out.sem_logits[..., : ctx.n_cur]
+        use_fused, spatial = self._fused_gate(ctx, sem, mask)
+        n_tot = mask.shape[0] * mask.shape[1] * mask.shape[2]
+        if use_fused and spatial is not None:
+            from bacs_tpu.ops.upsample_ce import spatial_upsampled_mib_ce
+
+            return spatial_upsampled_mib_ce(
+                sem, mask, mask.shape[1:3], spatial, 0, self.ignore_index
+            )
+        if use_fused:
+            from bacs_tpu.ops.upsample_ce import upsampled_ce_sums
+
+            ls, _ = upsampled_ce_sums(
+                sem, mask, mask.shape[1:3], self.ignore_index, None
+            )
+            return ls / n_tot
+        nll = cross_entropy(
+            out.logits[..., : ctx.n_cur], mask, self.ignore_index,
+            reduction="none",
+        )
+        return jnp.mean(nll)
+
+    def _pseudo_ce(self, ctx: ModelContext, state: TrainState, out, old_out,
+                   mask):
+        """Pseudo-label CE: entropy-gated teacher labels on bg pixels, the
+        per-sample adaptive factor, mean over ALL pixels.  On the fused
+        paths the teacher's full-res softmax/entropy/argmax and the
+        student's full-res logits never materialize
+        (ops/upsample_ce.upsampled_plop_pseudo_labels +
+        upsampled_ce_sums_per_image)."""
+        task = ctx.task
+        sem = out.sem_logits[..., : ctx.n_cur]
+        sem_old = old_out.sem_logits[..., : task.old_classes]
+        use_fused, spatial = self._fused_gate(ctx, sem, mask)
+        n_tot = mask.shape[0] * mask.shape[1] * mask.shape[2]
+        if not self.classif_adaptive_factor and spatial is not None:
+            # non-default flag: the spatial wrapper bakes in the adaptive
+            # factor — drop to the composed global path (GSPMD-safe)
+            use_fused = False
+        if use_fused and spatial is not None:
+            from bacs_tpu.ops.upsample_ce import spatial_plop_pseudo_ce
+
+            return spatial_plop_pseudo_ce(
+                sem, sem_old, mask, state.plop_thresholds,
+                state.plop_max_entropy, mask.shape[1:3], spatial,
+                self.ignore_index,
+            )
+        if use_fused:
+            from bacs_tpu.ops.upsample_ce import (
+                upsampled_ce_sums_per_image,
+                upsampled_plop_pseudo_labels,
+            )
+
+            pseudo, num, den = upsampled_plop_pseudo_labels(
+                sem_old, mask, state.plop_thresholds, mask.shape[1:3],
+                state.plop_max_entropy, self.ignore_index,
+            )
+            if self.classif_adaptive_factor:
+                factor = jnp.clip(num / jnp.maximum(den, 1.0), 0.0, None)
+            else:
+                factor = jnp.ones((mask.shape[0],), jnp.float32)
+            ls, _ = upsampled_ce_sums_per_image(
+                sem, pseudo, mask.shape[1:3], self.ignore_index, None
+            )
+            return jnp.sum(factor * ls) / n_tot
+        old_logits = old_out.logits[..., : task.old_classes]
+        pseudo_mask, factor = self._pseudo_labels(state, mask, old_logits)
+        nll = cross_entropy(
+            out.logits[..., : ctx.n_cur], pseudo_mask, self.ignore_index,
+            reduction="none",
+        )
+        return jnp.mean(factor[:, None, None] * nll)
 
     def _pseudo_labels(self, state: TrainState, labels, old_logits):
         """(reference: plop_loss.py:67-124 `_preprocess_labels`)."""

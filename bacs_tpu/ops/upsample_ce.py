@@ -194,7 +194,8 @@ def _fwd_kernel(starts_ref, z_ref, labels_ref, kh_ref, out_ref, *, hb):
     out_ref[0] += upd
 
 
-def _bwd_kernel(starts_ref, z_ref, labels_ref, kh_ref, g_ref, dz_ref, *, hb):
+def _bwd_kernel(starts_ref, z_ref, labels_ref, kh_ref, g_ref, dz_ref, *, hb,
+                per_image_g=False):
     import jax.experimental.pallas as pl
 
     j = pl.program_id(1)
@@ -216,7 +217,9 @@ def _bwd_kernel(starts_ref, z_ref, labels_ref, kh_ref, g_ref, dz_ref, *, hb):
     safe = jnp.where(valid, labels, 0)
     ch = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad, 1), 1)
     onehot = (ch == safe[:, None, :]).astype(jnp.float32)
-    g = g_ref[0, 0]
+    # per_image_g: g_ref is the UNBLOCKED [N, 1] SMEM cotangent vector
+    # (blocked (1,1) specs over [N,1] are rejected by the Mosaic lowering)
+    g = g_ref[pl.program_id(0), 0] if per_image_g else g_ref[0, 0]
     dtile = (softmax - onehot) * (valid.astype(jnp.float32) * g)[:, None, :]
     upd = jnp.einsum("Rh,RcW->hcW", ky, dtile, preferred_element_type=jnp.float32)
     dz_ref[0, pl.ds(start, hb)] += upd
@@ -1260,6 +1263,230 @@ def upsampled_unbiased_kd(
 
 
 # ---------------------------------------------------------------------------
+# PLOP's full-res consumers (reference: loss/plop_loss.py:67-124 +
+# torch CE on the upsampled logits):
+#   1. per-IMAGE CE sums — PLOP's classif-adaptive factor is per-sample, so
+#      mean(factor·nll) separates over the per-image sums the fwd kernel
+#      already accumulates; the bwd takes a per-image cotangent vector.
+#   2. pseudo-label generation — softmax/entropy/argmax of the upsampled OLD
+#      logits (three full-res f32 tensors in the composed path) fused into
+#      one kernel emitting only the int32 label map + per-image counts.
+# ---------------------------------------------------------------------------
+
+
+def _ce_sums_per_image_jnp(sem, labels, kh, kw, ignore_index):
+    up = _upsample_jnp(sem, kh, kw)
+    mask = labels != ignore_index
+    safe = jnp.where(mask, labels, 0)
+    lse = jax.nn.logsumexp(up, axis=-1)
+    lab = jnp.take_along_axis(up, safe[..., None], axis=-1)[..., 0]
+    loss = jnp.sum((lse - lab) * mask, axis=(1, 2))
+    return loss, jnp.sum(mask, axis=(1, 2)).astype(jnp.float32)
+
+
+def _gvec_spec():
+    """Per-image cotangent: the UNBLOCKED [N, 1] SMEM vector (the bwd
+    kernel indexes it by the image grid dim when per_image_g=True)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _ce_sums_per_image_pallas(sem, labels, kh, kw):
+    import jax.experimental.pallas as pl
+
+    lead, specs, dims = _prep_call(sem, labels, kh, kw)
+    out_shape, out_spec = _sum_out_spec(dims)
+    out = pl.pallas_call(
+        partial(_fwd_kernel, hb=dims["hb"]),
+        out_shape=out_shape,
+        grid=dims["grid"],
+        in_specs=specs,
+        out_specs=out_spec,
+        compiler_params=tpu_compiler_params(),
+    )(*lead)
+    return out[:, 0, 0], out[:, 0, 1]
+
+
+def _dsem_pallas_gvec(sem, labels, kh, kw, gvec):
+    import jax.experimental.pallas as pl
+
+    lead, specs, dims = _prep_call(sem, labels, kh, kw)
+    out_shape, out_spec = _dz_out_spec(dims)
+    dz = pl.pallas_call(
+        partial(_bwd_kernel, hb=dims["hb"], per_image_g=True),
+        out_shape=out_shape,
+        grid=dims["grid"],
+        in_specs=specs + [_gvec_spec()],
+        out_specs=out_spec,
+        compiler_params=tpu_compiler_params(),
+    )(*lead, gvec.reshape(-1, 1))
+    dsem = jnp.einsum("Ww,nhcW->nhwc", jnp.asarray(kw),
+                      dz[:, :, : sem.shape[-1], :])
+    return dsem.astype(sem.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def upsampled_ce_sums_per_image(
+    sem_logits: Array,
+    labels: Array,
+    out_hw: Tuple[int, int],
+    ignore_index: int,
+    interp: Optional[Tuple[float, float]],
+) -> Tuple[Array, Array]:
+    """([N] per-image Σ CE over valid pixels, [N] valid counts)."""
+    kh, kw = _kmats(sem_logits, out_hw, interp)
+    if _use_pallas(sem_logits, out_hw) and ignore_index == 255:
+        return _ce_sums_per_image_pallas(sem_logits, labels, kh, kw)
+    return _ce_sums_per_image_jnp(sem_logits, labels, kh, kw, ignore_index)
+
+
+def _ucespi_fwd(sem, labels, out_hw, ignore_index, interp):
+    out = upsampled_ce_sums_per_image(sem, labels, out_hw, ignore_index,
+                                      interp)
+    return out, (sem, labels)
+
+
+def _ucespi_bwd(out_hw, ignore_index, interp, res, g):
+    gvec = g[0]  # [N]; the count output carries no sem gradient
+    sem, labels = res
+    kh, kw = _kmats(sem, out_hw, interp)
+    if _use_pallas(sem, out_hw) and ignore_index == 255:
+        dsem = _dsem_pallas_gvec(sem, labels, kh, kw,
+                                 gvec.astype(jnp.float32))
+        return dsem, None
+    up = _upsample_jnp(sem, kh, kw)
+    mask = labels != ignore_index
+    safe = jnp.where(mask, labels, 0)
+    soft = jax.nn.softmax(up, axis=-1)
+    onehot = jax.nn.one_hot(safe, sem.shape[-1])
+    dup = (soft - onehot) * (mask * gvec[:, None, None])[..., None]
+    dsem = jnp.einsum("Ww,nHWc->nHwc", jnp.asarray(kw), dup)
+    dsem = jnp.einsum("Hh,nHwc->nhwc", jnp.asarray(kh), dsem).astype(sem.dtype)
+    return dsem, None
+
+
+upsampled_ce_sums_per_image.defvjp(_ucespi_fwd, _ucespi_bwd)
+
+
+def _plop_pseudo_jnp(sem_old, labels, thresholds, kh, kw, max_entropy,
+                     ignore_index):
+    """Fallback = upsample + the golden plop._pseudo_labels math."""
+    from bacs_tpu.ops.losses import pixel_entropy
+
+    c_old = sem_old.shape[-1]
+    up = _upsample_jnp(sem_old, kh, kw)
+    probs = jax.nn.softmax(up, axis=-1)
+    pseudo = jnp.argmax(probs, axis=-1).astype(labels.dtype)
+    mask_bg = labels < c_old
+    ent = pixel_entropy(probs) / max_entropy
+    valid = ent < thresholds[pseudo]
+    new_labels = jnp.where(~valid & mask_bg, ignore_index, labels)
+    new_labels = jnp.where(valid & mask_bg, pseudo, new_labels)
+    num = jnp.sum((valid & mask_bg).astype(jnp.float32), axis=(1, 2))
+    den = jnp.sum(mask_bg.astype(jnp.float32), axis=(1, 2))
+    return new_labels, num, den
+
+
+def _pseudo_kernel(starts_ref, z_ref, labels_ref, kh_ref, thr_ref, me_ref,
+                   lab_ref, sums_ref, *, hb, c_old):
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        sums_ref[...] = jnp.zeros_like(sums_ref)
+
+    start = starts_ref[j]
+    zs = z_ref[0, pl.ds(start, hb)]
+    ky = kh_ref[0]
+    tile = jnp.einsum("Rh,hcW->RcW", ky, zs, preferred_element_type=jnp.float32)
+    labels = labels_ref[0]  # [R, W] int32
+    c_pad = tile.shape[1]
+
+    m = jnp.max(tile, axis=1, keepdims=True)
+    e = jnp.exp(tile - m)  # pad channels are -1e30 -> p == 0
+    p = e / jnp.sum(e, axis=1, keepdims=True)
+    eps = 1e-8  # ops/losses._EPS
+    # pixel_entropy = -(1/log(c+eps)) · MEAN over the c REAL channels
+    # (pads contribute 0·log(eps) = 0 to the sum)
+    import math as _math
+
+    ent = jnp.sum(p * jnp.log(p + eps), axis=1, keepdims=True) * (
+        -1.0 / (c_old * _math.log(c_old + eps))
+    )
+    ent = ent / me_ref[0, 0]  # [R, 1, W]
+
+    pseudo = jnp.argmax(tile, axis=1).astype(jnp.int32)  # [R, W]
+    ch = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad, 1), 1)
+    onehot = (ch == pseudo[:, None, :]).astype(jnp.float32)
+    thrp = jnp.sum(onehot * thr_ref[0], axis=1, keepdims=True)  # [R, 1, W]
+    valid = (ent < thrp)[:, 0, :]  # [R, W] bool
+
+    mask_bg = labels < c_old
+    new_labels = jnp.where(~valid & mask_bg, 255, labels)
+    new_labels = jnp.where(valid & mask_bg, pseudo, new_labels)
+    lab_ref[0] = new_labels
+
+    num = jnp.sum((valid & mask_bg).astype(jnp.float32))
+    den = jnp.sum(mask_bg.astype(jnp.float32))
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    sums_ref[0] += jnp.where((row == 0) & (col == 0), num, 0.0) + jnp.where(
+        (row == 0) & (col == 1), den, 0.0
+    )
+
+
+def _pseudo_pallas(sem_old, labels, thresholds, kh, kw, max_entropy):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c_old = sem_old.shape[-1]
+    lead, specs, dims = _prep_call(sem_old, labels, kh, kw)
+    thr = _pad_w(thresholds[:c_old], dims["c_pad"])
+    me = jnp.asarray(max_entropy, jnp.float32).reshape(1, 1)
+    sums_shape, sums_spec = _sum_out_spec(dims)
+    lab_shape = jax.ShapeDtypeStruct(
+        (dims["n"], dims["H"], dims["W"]), jnp.int32
+    )
+    lab_spec = pl.BlockSpec((1, ROW_BLOCK, dims["W"]), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    new_labels, sums = pl.pallas_call(
+        partial(_pseudo_kernel, hb=dims["hb"], c_old=c_old),
+        out_shape=(lab_shape, sums_shape),
+        grid=dims["grid"],
+        in_specs=specs + [_wvec_spec(dims), _g_spec()],
+        out_specs=(lab_spec, sums_spec),
+        compiler_params=tpu_compiler_params(),
+    )(*lead, thr, me)
+    return new_labels, sums[:, 0, 0], sums[:, 0, 1]
+
+
+def upsampled_plop_pseudo_labels(
+    sem_old: Array,
+    labels: Array,
+    thresholds: Array,
+    out_hw: Tuple[int, int],
+    max_entropy: Array,
+    ignore_index: int = 255,
+    interp: Optional[Tuple[float, float]] = None,
+) -> Tuple[Array, Array, Array]:
+    """PLOP pseudo-labels from the upsampled OLD logits, fused: returns
+    (new_labels [N,H,W] int32, num [N], den [N]) — `factor = num/max(den,1)`.
+    Entirely stop-gradient (the teacher is detached); the composed path's
+    full-res softmax/entropy/argmax tensors never materialize."""
+    sem_old = jax.lax.stop_gradient(sem_old)
+    kh, kw = _kmats(sem_old, out_hw, interp)
+    if _use_pallas(sem_old, out_hw) and ignore_index == 255:
+        return _pseudo_pallas(sem_old, labels, thresholds, kh, kw,
+                              max_entropy)
+    return _plop_pseudo_jnp(sem_old, labels, thresholds, kh, kw, max_entropy,
+                            ignore_index)
+
+
+# ---------------------------------------------------------------------------
 # GSPMD spatial-partitioning composition: shard_map the kernels over a
 # (data, space) mesh.  Each space shard owns H/S output rows; its input
 # window needs exactly ONE neighbor row per side (8× bilinear upsample),
@@ -1438,6 +1665,53 @@ def spatial_upsampled_mib_ce(
         out_specs=P(),
         check_vma=False,
     )(sem_logits, labels)
+
+
+def spatial_plop_pseudo_ce(
+    sem_new: Array,
+    sem_old: Array,
+    labels: Array,
+    thresholds: Array,
+    max_entropy: Array,
+    out_hw: Tuple[int, int],
+    mesh,
+    ignore_index: int = 255,
+) -> Array:
+    """PLOP's pseudo-label CE term under a (data, space) mesh: per-shard
+    fused pseudo-labels + per-image CE sums; the per-image counts/sums psum
+    over the space axis (each image's rows are split across it), the final
+    scalar over the whole mesh.  Equals
+    mean_over_ALL_pixels(factor_n · nll) of the global op exactly."""
+    n_space, H_loc, interp = _spatial_spec(mesh, out_hw, sem_new.shape[1])
+
+    def body(sn, so, labels_l):
+        po = _halo_pad(so, "space", n_space)
+        pseudo, num, den = upsampled_plop_pseudo_labels(
+            po, labels_l, thresholds, (H_loc, out_hw[1]), max_entropy,
+            ignore_index, interp,
+        )
+        num = jax.lax.psum(num, "space")
+        den = jax.lax.psum(den, "space")
+        factor = jnp.clip(num / jnp.maximum(den, 1.0), 0.0, None)
+        pn = _halo_pad(sn, "space", n_space)
+        ls, _ = upsampled_ce_sums_per_image(
+            pn, pseudo, (H_loc, out_hw[1]), ignore_index, interp
+        )
+        ls = jax.lax.psum(ls, "space")
+        # every space shard now holds identical per-image vectors; sum the
+        # factor-weighted sums over the data axis only (a space psum would
+        # double-count) and normalize by the GLOBAL pixel count
+        tot = jax.lax.psum(jnp.sum(factor * ls), "data")
+        n_loc = labels_l.shape[0] * labels_l.shape[1] * labels_l.shape[2]
+        n_tot = jax.lax.psum(jnp.float32(n_loc), ("data", "space"))
+        return tot / n_tot
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data", "space"), P("data", "space"), P("data", "space")),
+        out_specs=P(),
+        check_vma=False,
+    )(sem_new, sem_old, labels)
 
 
 def spatial_upsampled_unbiased_kd(

@@ -147,6 +147,51 @@ def main(smoke: bool = False):
     report("upsample_ukd_value", vk, vr, 2e-3)
     report("upsample_ukd_grad", gk, gr, 5e-2, floor=1e-7)
 
+    # ---- PLOP per-image CE sums (per-image cotangent bwd) ----
+    from bacs_tpu.ops.upsample_ce import upsampled_ce_sums_per_image
+
+    factor = jnp.asarray(np.linspace(0.2, 1.8, n).astype(np.float32))
+
+    def pice(s):
+        ls, _ = upsampled_ce_sums_per_image(s, labels, out, 255, None)
+        return jnp.sum(factor * ls) / (n * out[0] * out[1])
+
+    vk, gk = jax.value_and_grad(pice)(sem)
+    with fallback(uce):
+        vr, gr = jax.value_and_grad(pice)(sem)
+    report("upsample_ce_per_image_value", vk, vr, 2e-3)
+    report("upsample_ce_per_image_grad", gk, gr, 5e-2)
+
+    # ---- PLOP fused pseudo-labels: labels may flip on argmax /
+    # near-threshold entropy ties (different f32 summation orders);
+    # bound the flip fraction, counts must track the flips ----
+    from bacs_tpu.ops.upsample_ce import upsampled_plop_pseudo_labels
+
+    c_old2 = 16
+    sem_old2 = jnp.asarray(rs.randn(n, h, w, c_old2).astype(np.float32))
+    thr = jnp.asarray(
+        np.concatenate([rs.rand(c_old2) * 0.5 + 0.2,
+                        np.zeros(c - c_old2)]).astype(np.float32)
+    )
+    me = jnp.float32(np.log(c))
+    pk_lab, pk_num, pk_den = upsampled_plop_pseudo_labels(
+        sem_old2, labels, thr, out, me, 255
+    )
+    with fallback(uce):
+        pr_lab, pr_num, pr_den = upsampled_plop_pseudo_labels(
+            sem_old2, labels, thr, out, me, 255
+        )
+    flip = float(np.mean(np.asarray(pk_lab) != np.asarray(pr_lab)))
+    report("plop_pseudo_den", pk_den, pr_den, 1e-6)  # bg mask is exact
+    num_rel = float(np.max(np.abs(np.asarray(pk_num) - np.asarray(pr_num))
+                           / np.maximum(np.asarray(pr_num), 1.0)))
+    ok = flip < 2e-2 and num_rel < 2e-2
+    print(json.dumps({
+        "check": "plop_pseudo_labels", "tie_flip_frac": round(flip, 7),
+        "num_rel": round(num_rel, 7), "ok": ok,
+    }))
+    assert ok, (flip, num_rel)
+
     # ---- argmax confusion matrix ----
     # Row sums (per-true-class pixel counts) must match EXACTLY; the
     # assignments themselves may flip on argmax near-ties at bilinear

@@ -376,6 +376,38 @@ def test_spatial_fused_ce_ops_match_global():
                                    rtol=1e-4, atol=1e-6,
                                    err_msg=f"mib case {i} grad")
 
+    # PLOP's fused pseudo-label CE (teacher pseudo-labels + per-image
+    # adaptive factor + mean over ALL pixels)
+    from bacs_tpu.ops.upsample_ce import (
+        spatial_plop_pseudo_ce,
+        upsampled_ce_sums_per_image,
+        upsampled_plop_pseudo_labels,
+    )
+
+    thr = jnp.asarray(
+        np.concatenate([rng.rand(3) * 0.5 + 0.2, np.zeros(C - 3)]
+                       ).astype(np.float32)
+    )
+    me = jnp.float32(np.log(C))
+
+    def plop_ref(s):
+        pseudo, num, den = upsampled_plop_pseudo_labels(
+            sem_old, labels, thr, (H, W), me
+        )
+        factor = jnp.clip(num / jnp.maximum(den, 1.0), 0.0, None)
+        ls, _ = upsampled_ce_sums_per_image(s, pseudo, (H, W), 255, None)
+        return jnp.sum(factor * ls) / n_tot
+
+    ref, g_ref = jax.value_and_grad(plop_ref)(sem)
+    sp, g_sp = jax.value_and_grad(
+        lambda s: spatial_plop_pseudo_ce(s, sem_old, labels, thr, me, (H, W),
+                                         mesh)
+    )(sem)
+    np.testing.assert_allclose(float(sp), float(ref), rtol=1e-5,
+                               err_msg="plop value")
+    np.testing.assert_allclose(np.asarray(g_sp), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6, err_msg="plop grad")
+
 
 def test_trainer_bacs_boundary_on_mesh(tmp_path):
     """Full BACS continual run with a 2-device data mesh: the task-BOUNDARY

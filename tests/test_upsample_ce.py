@@ -204,6 +204,70 @@ def test_ukd_terms_match_autodiff(rng):
                                    atol=1e-30)
 
 
+def test_per_image_ce_sums_value_and_grad(rng):
+    """PLOP's per-image separation: [N] sums match composed per-image CE,
+    and a factor-weighted combination's gradient matches autodiff through
+    the composed path (exercises the per-image cotangent bwd)."""
+    from bacs_tpu.ops.losses import cross_entropy as ce_none
+    from bacs_tpu.ops.upsample_ce import upsampled_ce_sums_per_image
+
+    sem = jnp.asarray(rng.randn(3, 8, 8, 5).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 5, (3, 32, 32)).astype(np.int32))
+    labels = labels.at[0, :4].set(255)
+    factor = jnp.asarray(np.array([0.3, 1.0, 1.7], np.float32))
+    n_tot = 3 * 32 * 32
+
+    def composed(s):
+        up = resize_bilinear(s.astype(jnp.float32), (32, 32),
+                             align_corners=False)
+        nll = ce_none(up, labels, 255, reduction="none")
+        return jnp.mean(factor[:, None, None] * nll)
+
+    def fused(s):
+        ls, _ = upsampled_ce_sums_per_image(s, labels, (32, 32), 255, None)
+        return jnp.sum(factor * ls) / n_tot
+
+    np.testing.assert_allclose(float(fused(sem)), float(composed(sem)),
+                               rtol=1e-5)
+    g1 = jax.grad(fused)(sem)
+    g2 = jax.grad(composed)(sem)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
+                               atol=1e-6)
+
+
+def test_plop_pseudo_labels_match_method_golden(rng):
+    """The fused pseudo-label op vs the golden plop._pseudo_labels math on
+    identically upsampled logits (exact: same path on CPU)."""
+    from bacs_tpu.methods.plop import PlopMethod
+    from bacs_tpu.ops.upsample_ce import upsampled_plop_pseudo_labels
+
+    OLD, C = 4, 6
+    sem_old = jnp.asarray(rng.randn(2, 8, 8, OLD).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, C, (2, 32, 32)).astype(np.int32))
+    labels = labels.at[0, :4].set(255)
+    thresholds = jnp.asarray(
+        np.concatenate([rng.rand(OLD) * 0.5 + 0.2, np.zeros(C - OLD)]
+                       ).astype(np.float32)
+    )
+    max_entropy = jnp.float32(np.log(C))
+
+    new_labels, num, den = upsampled_plop_pseudo_labels(
+        sem_old, labels, thresholds, (32, 32), max_entropy, 255
+    )
+
+    up = resize_bilinear(sem_old.astype(jnp.float32), (32, 32),
+                         align_corners=False)
+    method = PlopMethod()
+    state = type("S", (), {"plop_thresholds": thresholds,
+                           "plop_max_entropy": max_entropy})()
+    ref_labels, ref_factor = method._pseudo_labels(state, labels, up)
+    np.testing.assert_array_equal(np.asarray(new_labels),
+                                  np.asarray(ref_labels))
+    factor = jnp.clip(num / jnp.maximum(den, 1.0), 0.0, None)
+    np.testing.assert_allclose(np.asarray(factor), np.asarray(ref_factor),
+                               rtol=1e-6)
+
+
 def test_bacs_weighted_terms_match_autodiff(rng):
     """The hand-derived per-pixel loss/grad in ops/upsample_ce._bacs_terms
     (the in-kernel math of upsampled_bacs_weighted_ce) must match autodiff
