@@ -322,6 +322,66 @@ class Method:
             class_weights=class_weights,
         )
 
+    def uce_with_upsample(self, ctx, sem, logits, labels, old_classes):
+        """MiB-style unbiased CE, mean over VALID pixels (SDR's reduction;
+        ops/losses.unbiased_cross_entropy semantics) through the shared
+        fused gate — full-res logits only exist on the fallback path."""
+        use_fused, spatial = self._fused_gate(ctx, sem, labels)
+        if use_fused and spatial is not None:
+            from bacs_tpu.ops.upsample_ce import (
+                spatial_upsampled_unbiased_cross_entropy,
+            )
+
+            return spatial_upsampled_unbiased_cross_entropy(
+                sem, labels, labels.shape[1:3], spatial, old_classes,
+                self.ignore_index,
+            )
+        if use_fused:
+            from bacs_tpu.ops.upsample_ce import (
+                upsampled_unbiased_cross_entropy,
+            )
+
+            return upsampled_unbiased_cross_entropy(
+                sem, labels, labels.shape[1:3], old_classes,
+                self.ignore_index,
+            )
+        from bacs_tpu.ops.losses import unbiased_cross_entropy
+
+        return unbiased_cross_entropy(
+            logits, labels, old_classes, self.ignore_index
+        )
+
+    def ukd_with_upsample(self, ctx, out, old_out, labels, alpha=1.0):
+        """MiB's unbiased KD vs the frozen previous model (mean over ALL
+        pixels) through the fused gate — neither the student's nor the
+        teacher's full-res logits exist on the kernel path (the teacher
+        side is stop-gradient by KD semantics).  Shared by MiB and SDR."""
+        task = ctx.task
+        sem_new = out.sem_logits[..., : ctx.n_cur]
+        sem_old = old_out.sem_logits[..., : task.old_classes]
+        use_fused, spatial = self._fused_gate(ctx, sem_new, labels)
+        if use_fused and spatial is not None:
+            from bacs_tpu.ops.upsample_ce import (
+                spatial_upsampled_unbiased_kd,
+            )
+
+            return spatial_upsampled_unbiased_kd(
+                sem_new, sem_old, labels.shape[1:3], spatial, alpha=alpha
+            )
+        if use_fused:
+            from bacs_tpu.ops.upsample_ce import upsampled_unbiased_kd
+
+            return upsampled_unbiased_kd(
+                sem_new, sem_old, labels.shape[1:3], alpha=alpha
+            )
+        from bacs_tpu.ops.losses import unbiased_knowledge_distillation
+
+        return unbiased_knowledge_distillation(
+            out.logits[..., : ctx.n_cur],
+            old_out.logits[..., : task.old_classes],
+            alpha=alpha,
+        )
+
     def compute_base_loss(
         self,
         ctx: ModelContext,

@@ -16,11 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from bacs_tpu.methods.base import Method, ModelContext, StepAux
-from bacs_tpu.ops.losses import (
-    cross_entropy,
-    unbiased_cross_entropy,
-    unbiased_knowledge_distillation,
-)
+from bacs_tpu.ops.losses import cross_entropy, unbiased_cross_entropy
 from bacs_tpu.train.state import TrainState
 
 
@@ -59,7 +55,9 @@ class MiBMethod(Method):
 
         if do_distill:
             old_out = ctx.forward_prev(state, image)
-            loss = loss + self.lkd * self._ukd(ctx, out, old_out, mask)
+            loss = loss + self.lkd * self.ukd_with_upsample(
+                ctx, out, old_out, mask
+            )
 
         updates = self.prototype_updates(ctx, state, out.penultimate, mask, train)
         return loss, StepAux(
@@ -114,28 +112,3 @@ class MiBMethod(Method):
             )
         return jnp.mean(nll)  # mean over ALL pixels (reference quirk)
 
-    def _ukd(self, ctx: ModelContext, out, old_out, mask):
-        """Unbiased KD vs the frozen previous model through the fused gate —
-        neither the student's nor the teacher's full-res logits exist on the
-        kernel path (the teacher side is stop-gradient by KD semantics)."""
-        task = ctx.task
-        sem_new = out.sem_logits[..., : ctx.n_cur]
-        sem_old = old_out.sem_logits[..., : task.old_classes]
-        use_fused, spatial = self._fused_gate(ctx, sem_new, mask)
-        if use_fused and spatial is not None:
-            from bacs_tpu.ops.upsample_ce import spatial_upsampled_unbiased_kd
-
-            return spatial_upsampled_unbiased_kd(
-                sem_new, sem_old, mask.shape[1:3], spatial, alpha=1.0
-            )
-        if use_fused:
-            from bacs_tpu.ops.upsample_ce import upsampled_unbiased_kd
-
-            return upsampled_unbiased_kd(
-                sem_new, sem_old, mask.shape[1:3], alpha=1.0
-            )
-        return unbiased_knowledge_distillation(
-            out.logits[..., : ctx.n_cur],
-            old_out.logits[..., : task.old_classes],
-            alpha=1.0,
-        )

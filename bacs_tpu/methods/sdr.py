@@ -25,11 +25,6 @@ import jax.numpy as jnp
 
 from bacs_tpu.methods.base import Method, ModelContext, StepAux
 from bacs_tpu.ops.interpolate import resize_nearest
-from bacs_tpu.ops.losses import (
-    cross_entropy,
-    unbiased_cross_entropy,
-    unbiased_knowledge_distillation,
-)
 from bacs_tpu.train.state import TrainState
 
 Array = jax.Array
@@ -74,12 +69,15 @@ class SDRMethod(Method):
         image, mask = batch["image"], batch["label"]
         out, new_bs = ctx.forward(params, state.batch_stats, image, train, rng)
         logits = out.logits[..., : ctx.n_cur]
+        sem = out.sem_logits[..., : ctx.n_cur]
+        # both CE variants ride the fused upsample+CE gate (full-res logits
+        # only exist on the composed fallback path)
         if task.task_id > 0:
-            loss = unbiased_cross_entropy(
-                logits, mask, task.old_classes, self.ignore_index
+            loss = self.uce_with_upsample(
+                ctx, sem, logits, mask, task.old_classes
             )
         else:
-            loss = cross_entropy(logits, mask, self.ignore_index)
+            loss = self.ce_with_upsample(ctx, sem, logits, mask)
 
         updates: Dict[str, Any] = {}
         use_distill = train and task.task_id > 0 and state.prev_params is not None
@@ -93,12 +91,11 @@ class SDRMethod(Method):
             loss = loss + self._feature_sparsification(mask, feats, task)
             loss = loss + self._clustering_separation(mask, feats, protos, task)
             old_out = ctx.forward_prev(state, image)
-            old_logits = old_out.logits[..., : task.old_classes]
             loss = loss + self._proto_distillation(
-                old_logits, feats, mask, protos, task
+                ctx, old_out, feats, mask, protos, task
             )
-            loss = loss + self.loss_kd * unbiased_knowledge_distillation(
-                logits, old_logits, alpha=1.0
+            loss = loss + self.loss_kd * self.ukd_with_upsample(
+                ctx, out, old_out, mask
             )
 
         return loss, StepAux(
@@ -223,7 +220,7 @@ class SDRMethod(Method):
         ratio = jnp.mean(shrink / (summed + EPS))
         return self.loss_featspars * jnp.where(total > 0, ratio, 0.0)
 
-    def _proto_distillation(self, old_logits, feats, mask, protos, task):
+    def _proto_distillation(self, ctx, old_out, feats, mask, protos, task):
         """(reference: sdr.py:244-280)."""
         f = jnp.asarray(feats, jnp.float32)
         hw = f.shape[1:3]
@@ -232,8 +229,22 @@ class SDRMethod(Method):
         if self.sequential_mode:
             pseudo = labels_down * (labels_down < task.old_classes)
         else:
-            old_pred = jnp.argmax(old_logits, axis=-1)
-            old_down = resize_nearest(old_pred, hw)
+            sem_old = old_out.sem_logits[..., : task.old_classes]
+            use_fused, _ = self._fused_gate(ctx, sem_old, mask)
+            if use_fused:
+                # nearest-downsampled teacher argmax needs only the interp
+                # rows at the sampled positions — the full-res teacher
+                # logits never materialize
+                from bacs_tpu.ops.upsample_ce import upsampled_argmax_nearest
+
+                old_down = upsampled_argmax_nearest(
+                    sem_old, mask.shape[1:3], hw
+                )
+            else:
+                old_pred = jnp.argmax(
+                    old_out.logits[..., : task.old_classes], axis=-1
+                )
+                old_down = resize_nearest(old_pred, hw)
             pseudo = old_down * bg_mask
         c_old = task.old_classes
         onehot = jax.nn.one_hot(pseudo, c_old)  # class 0 excluded below

@@ -1053,6 +1053,31 @@ def upsampled_unbiased_cross_entropy(
     return ls / jnp.maximum(ct, 1.0)
 
 
+def upsampled_argmax_nearest(
+    sem: Array,
+    out_hw: Tuple[int, int],
+    down_hw: Tuple[int, int],
+) -> Array:
+    """`resize_nearest(argmax(bilinear_upsample(sem, out_hw)), down_hw)`
+    without the full-res tensor: nearest picks src rows/cols
+    floor(i·out/down), so only those rows of the interp matrices are
+    evaluated (two tiny einsums).  Used by SDR's prototype distillation
+    (reference: sdr.py:249-252 downsamples the full-res teacher argmax)."""
+    kh, kw = _kmats(sem, out_hw)
+    ys = np.clip(
+        np.floor(np.arange(down_hw[0]) * (out_hw[0] / down_hw[0])
+                 ).astype(np.int64), 0, out_hw[0] - 1,
+    )
+    xs = np.clip(
+        np.floor(np.arange(down_hw[1]) * (out_hw[1] / down_hw[1])
+                 ).astype(np.int64), 0, out_hw[1] - 1,
+    )
+    up = jnp.einsum("Hh,nhwc->nHwc", jnp.asarray(kh[ys]),
+                    sem.astype(jnp.float32))
+    up = jnp.einsum("Ww,nHwc->nHWc", jnp.asarray(kw[xs]), up)
+    return jnp.argmax(up, axis=-1)
+
+
 def _ukd_sum_jnp(sem_new, sem_old, kh, kw, alpha):
     from bacs_tpu.ops.losses import unbiased_knowledge_distillation
 
@@ -1665,6 +1690,36 @@ def spatial_upsampled_mib_ce(
         out_specs=P(),
         check_vma=False,
     )(sem_logits, labels)
+
+
+def spatial_upsampled_unbiased_cross_entropy(
+    sem_logits: Array,
+    labels: Array,
+    out_hw: Tuple[int, int],
+    mesh,
+    old_classes: int,
+    ignore_index: int = 255,
+) -> Array:
+    """`upsampled_unbiased_cross_entropy` (mean over VALID pixels — SDR's
+    reduction, unlike MiB's mean-over-all) under a (data, space) mesh."""
+    n_space, H_loc, interp = _spatial_spec(mesh, out_hw, sem_logits.shape[1])
+
+    def body(sem_l, labels_l):
+        padded = _halo_pad(sem_l, "space", n_space)
+        ls, ct = upsampled_uce_sums(
+            padded, labels_l, (H_loc, out_hw[1]), old_classes, ignore_index,
+            interp,
+        )
+        return (jax.lax.psum(ls, ("data", "space")),
+                jax.lax.psum(ct, ("data", "space")))
+
+    ls, ct = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data", "space"), P("data", "space")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(sem_logits, labels)
+    return ls / jnp.maximum(ct, 1.0)
 
 
 def spatial_plop_pseudo_ce(

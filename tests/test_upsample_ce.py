@@ -268,6 +268,20 @@ def test_plop_pseudo_labels_match_method_golden(rng):
                                rtol=1e-6)
 
 
+def test_upsampled_argmax_nearest_matches_composed(rng):
+    """SDR's teacher-argmax downsample: sampling the interp rows equals
+    full-res argmax + resize_nearest exactly (same contraction values)."""
+    from bacs_tpu.ops.interpolate import resize_nearest
+    from bacs_tpu.ops.upsample_ce import upsampled_argmax_nearest
+
+    sem = jnp.asarray(rng.randn(2, 8, 8, 5).astype(np.float32))
+    up = resize_bilinear(sem.astype(jnp.float32), (64, 64),
+                         align_corners=False)
+    ref = resize_nearest(jnp.argmax(up, axis=-1).astype(jnp.int32), (8, 8))
+    got = upsampled_argmax_nearest(sem, (64, 64), (8, 8))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_bacs_weighted_terms_match_autodiff(rng):
     """The hand-derived per-pixel loss/grad in ops/upsample_ce._bacs_terms
     (the in-kernel math of upsampled_bacs_weighted_ce) must match autodiff
