@@ -153,6 +153,7 @@ class DecodedCache:
         self.size = source.size
         self.class_names = source.class_names
         n, s = len(source), source.size
+        self._disk = cache_dir is not None
         if cache_dir is None:  # RAM mode
             self._imgs = np.zeros((n, s, s, 3), np.uint8)
             self._lbls = np.zeros((n, s, s), np.uint8)
@@ -192,11 +193,26 @@ class DecodedCache:
     def _store(self, i: int, img: np.ndarray, lbl: np.ndarray):
         self._imgs[i] = img
         self._lbls[i] = lbl
-        self._valid[i] = 1  # flag last: crash mid-fill → just re-decode
+
+    def _commit(self, indices) -> None:
+        """Set the valid flags — AFTER the pixel pages are on disk.
+
+        Writeback is not program order: without the flush barrier the OS may
+        persist a valid=1 page while the corresponding pixel pages were never
+        written, and a machine crash mid-fill would leave the cache silently
+        serving all-zero images/labels forever.  (Flushed once per batch, not
+        per sample.)  A crash before the flag write just re-decodes.
+        """
+        if self._disk:
+            self._imgs.flush()
+            self._lbls.flush()
+        for i in indices:
+            self._valid[i] = 1
 
     def load(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
         if not self._valid[i]:
             self._store(i, *self.source.load(i))
+            self._commit((i,))
         return np.array(self._imgs[i]), np.array(self._lbls[i])
 
     def load_batch(self, indices):
@@ -211,7 +227,10 @@ class DecodedCache:
                 )
             for k, i in enumerate(missing):
                 self._store(i, out[0][k], out[1][k])
-        return np.array(self._imgs[indices]), np.array(self._lbls[indices])
+            self._commit(missing)
+        # fancy indexing already yields fresh arrays — asarray avoids paying
+        # a second full memcpy per batch on the hot cached path
+        return np.asarray(self._imgs[indices]), np.asarray(self._lbls[indices])
 
     def load_label(self, i: int) -> np.ndarray:
         return self.source.load_label(i)

@@ -319,19 +319,10 @@ def _ms_spec(dims):
 
 
 def _ce_sums_pallas(sem, labels, kh, kw):
-    import jax.experimental.pallas as pl
-
-    lead, specs, dims = _prep_call(sem, labels, kh, kw)
-    out_shape, out_spec = _sum_out_spec(dims)
-    out = pl.pallas_call(
-        partial(_fwd_kernel, hb=dims["hb"]),
-        out_shape=out_shape,
-        grid=dims["grid"],
-        in_specs=specs,
-        out_specs=out_spec,
-        compiler_params=tpu_compiler_params(),
-    )(*lead)
-    return jnp.sum(out[:, 0, 0]), jnp.sum(out[:, 0, 1])
+    # same pallas_call as the per-image variant (defined with the PLOP
+    # kernels below), reduced over images — one scaffolding to maintain
+    ls, cnt = _ce_sums_per_image_pallas(sem, labels, kh, kw)
+    return jnp.sum(ls), jnp.sum(cnt)
 
 
 def _dsem_pallas(sem, labels, kh, kw, g):

@@ -347,10 +347,15 @@ class Trainer:
             ) else self.learner_init(self.state, task, self.new_token_init)
             self.state = self.state.replace(opt_state=tx.init(self.state.params))
 
-        # needs_prev_model methods get prev set by end_task of previous task
+        # needs_prev_model methods get prev set by end_task of previous task.
+        # Boundary streams are LOADER-sized (n_devices=1): the passes run as
+        # plain single-device jits per process, so sizing their batches by
+        # the global device count would scale one chip's dispatch with pod
+        # size (OOM on real pods); the reference's boundary passes likewise
+        # consume plain loader batches (plop_loss.py:33-53, bacs_loss.py:133).
         self.state = self.method.begin_task(
             self.state, boundary_ctx,
-            dm.train_batches(epoch=0, n_devices=self.n_devices),
+            dm.train_batches(epoch=0, n_devices=1),
         )
 
         if self.spatial_partition > 1 and self.mesh is not None:
@@ -547,7 +552,8 @@ class Trainer:
         self.state = self.method.end_task(
             self.state,
             boundary_ctx,
-            dm.train_batches(epoch=0, n_devices=self.n_devices, augment=False),
+            # loader-sized batches: see begin_task note (single-device jit)
+            dm.train_batches(epoch=0, n_devices=1, augment=False),
         )
         if multihost:
             self.state = replicate_to_global(self.state, self.mesh)

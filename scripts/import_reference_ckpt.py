@@ -133,14 +133,17 @@ def import_reference_checkpoint(
     if populate_buffer:
         # the reference's own post-resume story: on_train_end re-populates
         # the buffer + clones prev_model (loss/bacs_loss.py:133-203)
+        # axis-FREE model: end_task runs plain single-device jits, so a
+        # sync-BN pmean bound to the trainer's mesh axis would hit an
+        # unbound named axis here (mirrors loop.py's boundary_ctx)
         ctx = ModelContext(
-            model=model, task=task, axis_name=trainer.axis_name,
-            fused_ce=trainer.fused_ce, spatial_mesh=None,
+            model=trainer._make_model(task, axis_name=None), task=task,
+            axis_name=None, fused_ce=trainer.fused_ce, spatial_mesh=None,
         )
         state = method.end_task(
             state, ctx,
             trainer.datamodule.train_batches(
-                epoch=0, n_devices=trainer.n_devices, augment=False
+                epoch=0, n_devices=1, augment=False
             ),
         )
     elif method.needs_prev_model:

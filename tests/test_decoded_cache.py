@@ -144,3 +144,32 @@ def test_ram_mode_serves_identical_data(voc_root):
     np.testing.assert_array_equal(a[0], b[0])
     np.testing.assert_array_equal(a[1], b[1])
     assert cached._valid[[0, 2]].all() and not cached._valid[1]
+
+
+def test_disk_commit_flushes_pixels_before_valid_flags(voc_root, tmp_path,
+                                                       monkeypatch):
+    """Durability ordering: the pixel memmaps must be flushed BEFORE any
+    valid flag is set (writeback is not program order — a machine crash
+    could otherwise persist valid=1 over never-written pixel pages and the
+    cache would silently serve zeros forever)."""
+    src, cached = _cache(voc_root, tmp_path)
+    valid_at_flush = []
+    orig_flush = np.memmap.flush
+
+    def spy(self):
+        valid_at_flush.append(np.array(cached._valid))
+        return orig_flush(self)
+
+    monkeypatch.setattr(np.memmap, "flush", spy)
+    cached.load_batch([0, 1, 2])
+    assert cached._valid[[0, 1, 2]].all()
+    # one imgs + one lbls flush per BATCH (not per sample), both taken
+    # while every new flag was still 0
+    assert len(valid_at_flush) == 2
+    for snap in valid_at_flush:
+        assert not snap[[0, 1, 2]].any()
+    # single-sample path commits too
+    valid_at_flush.clear()
+    cached.load(5)
+    assert cached._valid[5] and len(valid_at_flush) == 2
+    assert not any(s[5] for s in valid_at_flush)

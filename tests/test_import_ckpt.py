@@ -131,3 +131,40 @@ def test_import_cli_smoke(tmp_path, capsys):
     captured = capsys.readouterr().out
     assert "as completed task 1" in captured
     assert (out_dir / "step_1" / "final").is_dir()
+
+
+def test_import_populate_buffer_on_mesh(tmp_path):
+    """--populate-buffer's end_task runs plain single-device jits: it must
+    use an axis-FREE model (a mesh-bound sync-BN pmean would hit an unbound
+    named axis, the same latent crash loop.py's boundary_ctx fixes) and a
+    loader-sized stream."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    networks = load_reference_networks()
+    ref = _reference_unet_after_task1(networks)
+    ckpt_path = tmp_path / "final.ckpt"
+    torch.save(
+        {"state_dict": {f"network.{k}": v for k, v in ref.state_dict().items()}},
+        ckpt_path,
+    )
+    out_dir = tmp_path / "imported_mesh"
+    config = load_config(
+        "conf/continual_debug", "config",
+        [
+            "training.debug=false",
+            f"+training.ckpt_dir={out_dir}",
+            "+training.n_devices=2",
+            "dataset.dataset.crop_size=32",
+            "loss=bacs",
+            "loss.buffer_size=8",
+            "loss.replay_minibatch_size=2",
+        ],
+    )
+    from scripts.import_reference_ckpt import import_reference_checkpoint
+
+    state, task_id, loaded, total, _ = import_reference_checkpoint(
+        str(ckpt_path), config, str(out_dir), populate_buffer=True
+    )
+    assert task_id == 1 and loaded == total
+    assert state.prev_params is not None
+    assert int(state.buffer.num_seen) > 0

@@ -434,7 +434,24 @@ def test_trainer_bacs_boundary_on_mesh(tmp_path):
     )
     trainer = Trainer(config)
     assert trainer.mesh is not None and trainer.n_devices == 2
+
+    # boundary passes (begin_task/end_task) run as plain single-device jits:
+    # their streams must be LOADER-sized (n_devices=1), not scaled by the
+    # mesh size — a pod-sized batch through one chip's jit would OOM
+    calls = []
+    orig = trainer.datamodule.train_batches
+
+    def spy(*a, **k):
+        calls.append(dict(k))
+        return orig(*a, **k)
+
+    trainer.datamodule.train_batches = spy
     miou = trainer.fit()
+    boundary = [k for k in calls if "process_shard" not in k]
+    step = [k for k in calls if "process_shard" in k]
+    assert boundary and all(k.get("n_devices") == 1 for k in boundary)
+    assert step and all(k.get("n_devices") == 2 for k in step)
+
     assert np.isfinite(miou) and 0.0 <= miou <= 1.0
     assert trainer.state.prev_params is not None
     assert int(trainer.state.buffer.num_seen) > 0
