@@ -369,8 +369,11 @@ class DataModule:
                 # padded duplicates must not count toward metrics; global
                 # positions >= n_real fall in this process's [lo, hi) slice
                 # at local offset n_real - lo
-                lbls = lbls.copy()
-                lbls[max(0, n_real - lo):] = 255
+                if isinstance(lbls, jax.Array):  # device-cached source
+                    lbls = lbls.at[max(0, n_real - lo):].set(255)
+                else:
+                    lbls = lbls.copy()
+                    lbls[max(0, n_real - lo):] = 255
             out = transforms.eval_transform(imgs, lbls, table, crop=self.crop_size)
             # host-side real sample count: eval losses are sample-weighted
             # (reference: lightning batch-size-weighted epoch means)
@@ -422,8 +425,11 @@ def create_datamodule(config) -> DataModule:
             return src
         import os
 
-        from bacs_tpu.data.datasets import DecodedCache
+        from bacs_tpu.data.datasets import DecodedCache, DeviceCache
 
+        if str(cache_decoded).lower() == "device":
+            # whole decoded set resident in HBM; batches gathered on device
+            return DeviceCache(src)
         cache_dir = (
             os.path.expanduser(os.path.join(root, "cache"))
             if str(cache_decoded).lower() == "disk"
@@ -471,8 +477,13 @@ def create_datamodule(config) -> DataModule:
     else:  # synthetic
         n_train = int(inner.get("n_train", 64))
         n_val = int(inner.get("n_val", 16))
-        train = SyntheticSource(n_train, crop, num_classes, seed=1)
-        val = SyntheticSource(n_val, crop, num_classes, seed=2)
+        style = str(inner.get("style", "flat"))
+        train = SyntheticSource(n_train, crop, num_classes, seed=1, style=style)
+        val = SyntheticSource(n_val, crop, num_classes, seed=2, style=style)
+        if str(cache_decoded).lower() == "device":
+            from bacs_tpu.data.datasets import DeviceCache
+
+            train, val = DeviceCache(train), DeviceCache(val)
         n_domains = inner.get("n_domains", None)
         if n_domains:
             domain_ids = [i % int(n_domains) for i in range(n_train)]

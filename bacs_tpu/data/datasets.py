@@ -219,7 +219,8 @@ class DecodedCache:
         indices = [int(i) for i in indices]
         missing = [i for i in dict.fromkeys(indices) if not self._valid[i]]
         if missing:
-            out = self.source.load_batch(missing)
+            loader = getattr(self.source, "load_batch", None)
+            out = loader(missing) if loader else None
             if out is None:  # no native decoder → PIL per sample
                 out = tuple(
                     np.stack(x)
@@ -236,19 +237,54 @@ class DecodedCache:
         return self.source.load_label(i)
 
 
+def _upsample_bilinear_np(small: np.ndarray, s: int) -> np.ndarray:
+    """Bilinear [h,w,(c)] → [s,s,(c)] on host numpy (for texture fields)."""
+    h, w = small.shape[:2]
+    ys = np.linspace(0, h - 1, s)
+    xs = np.linspace(0, w - 1, s)
+    y0 = np.clip(ys.astype(np.int64), 0, h - 2)
+    x0 = np.clip(xs.astype(np.int64), 0, w - 2)
+    wy = (ys - y0)[:, None]
+    wx = (xs - x0)[None, :]
+    if small.ndim == 3:
+        wy, wx = wy[..., None], wx[..., None]
+    a = small[y0][:, x0]
+    b = small[y0][:, x0 + 1]
+    c = small[y0 + 1][:, x0]
+    d = small[y0 + 1][:, x0 + 1]
+    return (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+            + c * wy * (1 - wx) + d * wy * wx)
+
+
 class SyntheticSource:
     """Deterministic synthetic segmentation data for tests and benchmarks.
 
-    Masks contain a background plus 1–4 random class rectangles/disks; images
-    are class-correlated colors + noise, so training actually reduces loss
-    and per-class IoU is meaningful.
+    Two generator styles:
+
+    * ``flat`` (default, the original generator — every existing protocol
+      table and test is pinned to it): background plus 1–4 random class
+      disks; images are class-correlated flat colors + noise.
+    * ``rich``: a protocol sized for FLAGSHIP models (DeepLabV3 at crop
+      256+).  Each class has a distinctive appearance — two class colors
+      modulated by a class-keyed texture (stripes / checker / dots /
+      smooth gradient, with per-instance phase, scale and rotation
+      jitter) — drawn as one of six shape families (disk, ellipse,
+      rectangle, ring, triangle, cross) over a textured low-frequency
+      background with per-image illumination shifts.  Classes are
+      therefore separable by texture+color statistics but not by pixel
+      memorization, giving a 39M-param network genuine signal at scales
+      where the flat generator degenerates (VERDICT r3: the flat 160-image
+      protocol collapsed flagship runs to ~0.03 mIoU).
     """
 
-    def __init__(self, n: int, size: int, num_classes: int, seed: int = 0):
+    def __init__(self, n: int, size: int, num_classes: int, seed: int = 0,
+                 style: str = "flat"):
+        assert style in ("flat", "rich"), style
         self.n = n
         self.size = size
         self.num_classes = num_classes
         self.seed = seed
+        self.style = style
         self.class_names = ["background"] + [
             f"class_{i}" for i in range(1, num_classes)
         ]
@@ -260,6 +296,8 @@ class SyntheticSource:
         return np.random.RandomState(self.seed * 100003 + i)
 
     def load(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        if self.style == "rich":
+            return self._load_rich(i)
         rng = self._rng(i)
         s = self.size
         lbl = np.zeros((s, s), np.uint8)
@@ -282,8 +320,156 @@ class SyntheticSource:
         img = palette[lbl] + rng.randn(s, s, 3) * 20
         return np.clip(img, 0, 255).astype(np.uint8), lbl
 
+    # -- rich generator ------------------------------------------------
+
+    def _class_palette(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Two fixed colors per class (texture endpoints), well separated
+        in hue; class 0 (bg) entries are unused."""
+        c = np.arange(self.num_classes, dtype=np.float32)
+        h1 = (c * 0.618034) % 1.0  # golden-ratio hue spacing
+        h2 = (h1 + 0.23) % 1.0
+
+        def hsv(h, sat, val):
+            k = (np.stack([h * 6 + 0, h * 6 + 4, h * 6 + 2]) % 6)
+            f = val - val * sat * np.clip(np.minimum(k, 4 - k), 0, 1)
+            return (f.T * 255.0).astype(np.float32)
+
+        return hsv(h1, 0.85, 0.9), hsv(h2, 0.6, 0.55)
+
+    def _load_rich(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        rng = self._rng(i + 7_777_777)
+        s = self.size
+        yy, xx = np.mgrid[:s, :s].astype(np.float32)
+        col1, col2 = self._class_palette()
+
+        # textured background: low-frequency color field + faint stripes
+        small = rng.randn(7, 7, 3).astype(np.float32)
+        bg = 110.0 + 35.0 * _upsample_bilinear_np(small, s)
+        ang = rng.uniform(0, np.pi)
+        bg += 8.0 * np.sin(
+            (xx * np.cos(ang) + yy * np.sin(ang)) * rng.uniform(0.02, 0.06)
+        )[..., None]
+        img = bg
+        lbl = np.zeros((s, s), np.uint8)
+
+        n_obj = rng.randint(3, 7)
+        classes = rng.randint(1, self.num_classes, size=n_obj)
+        for c in classes:
+            cx, cy = rng.uniform(0.1 * s, 0.9 * s, 2)
+            r = rng.uniform(s / 9, s / 4)
+            theta = rng.uniform(0, np.pi)
+            xr = (xx - cx) * np.cos(theta) + (yy - cy) * np.sin(theta)
+            yr = -(xx - cx) * np.sin(theta) + (yy - cy) * np.cos(theta)
+            shape = rng.randint(0, 6)
+            if shape == 0:  # disk
+                m = xr * xr + yr * yr < r * r
+            elif shape == 1:  # ellipse
+                a, b = r, r * rng.uniform(0.45, 0.8)
+                m = (xr / a) ** 2 + (yr / b) ** 2 < 1.0
+            elif shape == 2:  # rectangle
+                a, b = r * rng.uniform(0.7, 1.2), r * rng.uniform(0.5, 0.9)
+                m = (np.abs(xr) < a) & (np.abs(yr) < b)
+            elif shape == 3:  # ring
+                q = xr * xr + yr * yr
+                m = (q < r * r) & (q > (0.55 * r) ** 2)
+            elif shape == 4:  # triangle (half-plane intersection)
+                m = (yr > -0.6 * r) & (yr + 2.2 * np.abs(xr) < 0.9 * r)
+            else:  # cross
+                m = ((np.abs(xr) < 0.33 * r) & (np.abs(yr) < r)) | (
+                    (np.abs(yr) < 0.33 * r) & (np.abs(xr) < r)
+                )
+            if not m.any():
+                continue
+            # class-keyed texture with per-instance jitter
+            freq = (0.06 + 0.015 * (c % 5)) * rng.uniform(0.8, 1.25)
+            phase = rng.uniform(0, 2 * np.pi)
+            tang = (c * 0.7) % np.pi + rng.uniform(-0.2, 0.2)
+            u = xx * np.cos(tang) + yy * np.sin(tang)
+            v = -xx * np.sin(tang) + yy * np.cos(tang)
+            kind = c % 4
+            if kind == 0:  # stripes
+                t = 0.5 + 0.5 * np.sin(u * freq * 2 * np.pi + phase)
+            elif kind == 1:  # checker
+                t = (np.sin(u * freq * 2 * np.pi + phase)
+                     * np.sin(v * freq * 2 * np.pi) > 0).astype(np.float32)
+            elif kind == 2:  # dots
+                t = (
+                    (np.sin(u * freq * 2 * np.pi + phase) > 0.3)
+                    & (np.sin(v * freq * 2 * np.pi + phase) > 0.3)
+                ).astype(np.float32)
+            else:  # smooth radial gradient
+                t = 0.5 + 0.5 * np.cos(
+                    np.sqrt(xr * xr + yr * yr) / max(r, 1.0) * np.pi
+                )
+            jit = rng.uniform(-20, 20, 3).astype(np.float32)
+            tex = (col1[c] + jit) * t[..., None] + (col2[c] + jit) * (
+                1.0 - t[..., None]
+            )
+            img = np.where(m[..., None], tex, img)
+            lbl[m] = c
+
+        gain = rng.uniform(0.75, 1.25)
+        img = img * gain + rng.randn(s, s, 3) * 6.0
+        return np.clip(img, 0, 255).astype(np.uint8), lbl
+
     def load_label(self, i: int) -> np.ndarray:
         return self.load(i)[1]
+
+
+class DeviceCache:
+    """HBM-resident dataset: the whole decoded set lives on device.
+
+    On a TPU host the per-batch host→device copy is the input pipeline's
+    floor (each 512² batch-16 is ~16 MB over PCIe — or a ~10 MB/s tunnel on
+    this dev host).  For datasets that fit HBM (synthetic protocols,
+    VOC-subset ablations: 1.5k images at 256² uint8 ≈ 300 MB of a v5e's
+    16 GB), uploading once and gathering batches ON DEVICE removes that
+    traffic entirely: `load_batch` is a `jnp.take` whose output feeds the
+    fused on-device transform with zero host involvement.
+
+    The first access decodes the full source on host (one pass) and ships
+    it; everything after is device-side.  Wraps any source exposing
+    `load`/`load_label`.
+    """
+
+    def __init__(self, source):
+        self.source = source
+        self.size = source.size
+        self.class_names = source.class_names
+        self._imgs = None
+        self._lbls = None
+
+    def __len__(self):
+        return len(self.source)
+
+    def _ensure(self):
+        if self._imgs is not None:
+            return
+        import jax.numpy as jnp
+
+        loader = getattr(self.source, "load_batch", None)
+        out = loader(list(range(len(self.source)))) if loader else None
+        if out is None:
+            pairs = [self.source.load(i) for i in range(len(self.source))]
+            out = (np.stack([p[0] for p in pairs]),
+                   np.stack([p[1] for p in pairs]))
+        self._imgs = jnp.asarray(out[0])
+        self._lbls = jnp.asarray(out[1])
+
+    def load_batch(self, indices):
+        import jax.numpy as jnp
+
+        self._ensure()
+        idx = jnp.asarray(np.asarray(indices, np.int32))
+        return (jnp.take(self._imgs, idx, axis=0),
+                jnp.take(self._lbls, idx, axis=0))
+
+    def load(self, i: int):
+        img, lbl = self.load_batch([i])
+        return np.asarray(img[0]), np.asarray(lbl[0])
+
+    def load_label(self, i: int) -> np.ndarray:
+        return self.source.load_label(i)
 
 
 class DomainShiftedSource:

@@ -614,7 +614,7 @@ class Trainer:
         for d in dm.eval_task_range(task_id):
             conf = self._global_zeros((dm.num_classes, dm.num_classes))
             conf_aux = self._global_zeros((2, 2))
-            losses, weights = [], []
+            losses, weights, aux_stats = [], [], []
             for batch in dm.eval_batches(
                 d, n_devices=self.n_devices,
                 process_shard=self.process_count > 1,
@@ -628,7 +628,10 @@ class Trainer:
                 if self.use_bg_detector:
                     from bacs_tpu.train.ood import aux_bg_step
 
-                    conf_aux, _ = aux_bg_step(ctx, self.state, batch, conf_aux)
+                    conf_aux, stats = aux_bg_step(
+                        ctx, self.state, batch, conf_aux
+                    )
+                    aux_stats.append(stats)
             metrics = detailed_iou_metrics(
                 np.asarray(conf),
                 initial_classes=task.initial_classes,
@@ -646,6 +649,14 @@ class Trainer:
                 from bacs_tpu.train.ood import aux_bg_summary
 
                 aux = aux_bg_summary(np.asarray(conf_aux))
+                # seen-probability statistics: batch means of the per-batch
+                # mean/var, matching Lightning's epoch aggregation of
+                # `_log_aux_probs` (reference: ood_model.py:103-171 logs
+                # {bg,fg,fg_current,old_cl}_prob_{mean,var} per step)
+                for k in aux_stats[0] if aux_stats else ():
+                    aux[k] = float(
+                        np.mean([float(s[k]) for s in aux_stats])
+                    )
                 self.logger.log_metrics(
                     {f"test.{d}_aux_bg/{k}": v for k, v in aux.items()}
                 )
@@ -679,6 +690,7 @@ class Trainer:
             path = self.media.flush(task_id)
             if path:
                 self.logger.info(f"media collage: {path}")
+            self.media.log_wandb(self.logger, task_id, dm.class_names)
         if self.proto_logger is not None:
             collected = self.proto_logger.collect(
                 ctx, self.state, dm.eval_batches(0, n_devices=self.n_devices)

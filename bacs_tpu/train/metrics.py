@@ -47,6 +47,10 @@ def detailed_iou_metrics(
     out["Accuracy"] = float(np.asarray(m.accuracy).mean())
     out["Precision"] = float(np.asarray(m.precision).mean())
     out["Recall"] = float(np.asarray(m.recall).mean())
+    # the reference's IoU.compute derives specificity alongside the others
+    # (reference: training/metrics.py:73-85) though Model._log_iou never
+    # surfaced it; exposed here so reports carry the full confusion-derived set
+    out["Specificity"] = float(np.asarray(m.specificity).mean())
     if class_names is not None:
         for i, name in enumerate(class_names[: len(iou)]):
             out[f"IoU-{name}"] = float(iou[i])

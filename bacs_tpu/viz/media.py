@@ -88,3 +88,40 @@ class MediaLogger:
             Image.fromarray(collage).save(path)
             last_path = path
         return last_path
+
+    def log_wandb(self, logger, task_id: int, class_names=None) -> None:
+        """Log interactive segmentation-mask images to wandb, one Image per
+        sample with prediction + ground-truth mask layers under
+        `<Split>/Task <t>/Predictions` (reference: log_media.py:265-290
+        `_log_media_to_wandb`; the "groud_truth" key spelling is the
+        reference's, kept so wandb panels line up across frameworks)."""
+        wandb = getattr(logger, "_wandb", None)
+        if wandb is None:
+            return
+        class_labels = (
+            {i: str(n) for i, n in enumerate(class_names)}
+            if class_names else None
+        )
+        for split, q in self.queues.items():
+            if not q:
+                continue
+            image, label, pred = q[-1]
+            imgs = np.asarray(denormalize_image(image))
+            mask_list = []
+            for i in range(imgs.shape[0]):
+                masks = {
+                    "predictions": {
+                        "mask_data": np.asarray(pred[i], np.uint8)
+                    },
+                    "groud_truth": {
+                        "mask_data": np.asarray(label[i], np.uint8)
+                    },
+                }
+                if class_labels is not None:
+                    for layer in masks.values():
+                        layer["class_labels"] = class_labels
+                mask_list.append(wandb.Image(imgs[i], masks=masks))
+            wandb.log(
+                {f"{split.title()}/Task {task_id}/Predictions": mask_list},
+                commit=False,
+            )

@@ -19,6 +19,11 @@ Protocols (identical to the RESULTS.md setups):
   15-1:  21 classes, initial 15 fg +1/task → 6 tasks (the VOC 15-1 shape),
          UNet-4, crop 48, 6 epochs/task, 160 train images, overlap;
          BACS: bg_detector + buffer 60, α=β=0.5.
+  15-1-flagship: the same 6-task shape at FLAGSHIP scale — DeepLabV3-RN50,
+         crop 256, 1536 `rich`-style images (class-keyed textures) resident
+         in HBM (cache=device), 12 epochs/task; BACS: bg_detector +
+         buffer 100 / replay 12.  Run on a real chip:
+             python scripts/protocol_compare.py --protocol 15-1-flagship
 
 Emits a markdown table row per method:
 `| method | final mIoU | oldest-task mIoU at end | Avg-IoU per dataset |`
@@ -57,6 +62,20 @@ PROTOCOLS = {
         buffer=60, batch=8,
         default_methods=("ce", "bacs"),
     ),
+    # FLAGSHIP-scale 15-1 (VERDICT r3 next #1): the `rich` synthetic source
+    # (class-keyed textures, 6 shape families, textured backgrounds) at crop
+    # 256 with enough images/steps that DeepLabV3 trained from scratch is
+    # non-degenerate (task-0 val mIoU >= 0.5); whole set HBM-resident
+    # (cache=device) so the 1-core host feeds the chip. Mirrors the
+    # reference recipe shape (conf/bacs/training/der_15_1.yaml: batch 12,
+    # poly 0.9, lr_next 1e-3) at reduced data scale.
+    "15-1-flagship": dict(
+        n_classes=21, initial=15, increment=1, crop=256, epochs=12,
+        n_train=1536, n_val=192, layers=4, lr=0.03, lr_next=0.003,
+        buffer=100, batch=16, replay=12,
+        net="deeplab", backbone="resnet50", style="rich", cache="device",
+        default_methods=("ce", "mib", "bacs"),
+    ),
 }
 
 
@@ -90,6 +109,10 @@ def run_method(protocol: dict, method: str, seed: int,
         f"optimizer.lr={p['lr']}",
         "training.debug=false",  # protocol runs use the full synthetic set
     ]
+    if p.get("style"):
+        overrides.append(f"+dataset.dataset.style={p['style']}")
+    if p.get("cache"):
+        overrides.append(f"+dataset.dataset.cache_decoded={p['cache']}")
     if method == "bacs":
         overrides += [
             "training.bg_detector=true",
@@ -97,8 +120,12 @@ def run_method(protocol: dict, method: str, seed: int,
             "loss.alpha=0.5",
             "loss.beta=0.5",
         ]
+        if p.get("replay"):
+            overrides.append(f"loss.replay_minibatch_size={p['replay']}")
     elif method == "er":
         overrides += [f"loss.buffer_size={p['buffer']}"]
+        if p.get("replay"):
+            overrides.append(f"loss.replay_minibatch_size={p['replay']}")
     config = load_config("conf/continual_debug", "config", overrides)
     t0 = time.time()
     trainer = Trainer(config)
@@ -122,9 +149,13 @@ def main():
     ap.add_argument("--methods", default=None,
                     help="comma list (default: the protocol's full set)")
     ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--network", choices=("unet", "deeplab"), default="unet")
-    ap.add_argument("--backbone", default="resnet50",
+    ap.add_argument("--network", choices=("unet", "deeplab"), default=None,
+                    help="default: the protocol's own network (unet unless "
+                         "the protocol pins one, e.g. 15-1-flagship)")
+    ap.add_argument("--backbone", default=None,
                     help="DeepLab backbone (with --network deeplab)")
+    ap.add_argument("--epochs", type=int, default=0,
+                    help="override the protocol's epochs/task")
     ap.add_argument("--crop", type=int, default=0,
                     help="override the protocol's crop (deeplab needs /16)")
     args = ap.parse_args()
@@ -133,17 +164,21 @@ def main():
 
     enable_compilation_cache()
 
-    p = PROTOCOLS[args.protocol]
+    p = dict(PROTOCOLS[args.protocol])
+    if args.epochs:
+        p["epochs"] = args.epochs
+    network = args.network or p.get("net", "unet")
+    backbone = args.backbone or p.get("backbone", "resnet50")
     methods = (args.methods.split(",") if args.methods
                else list(p["default_methods"]))
     results = []
     for m in methods:
-        r = run_method(p, m, args.seed, network=args.network,
-                       backbone=args.backbone, crop=args.crop)
+        r = run_method(p, m, args.seed, network=network,
+                       backbone=backbone, crop=args.crop)
         results.append(r)
         print(json.dumps(r))
 
-    tag = "" if args.network == "unet" else f", deeplab/{args.backbone}"
+    tag = "" if network == "unet" else f", deeplab/{backbone}"
     print(f"\n## {args.protocol} protocol (seed {args.seed}{tag})\n")
     print("| Method | final mIoU | oldest-task mIoU at end | "
           "Avg-IoU per dataset |")

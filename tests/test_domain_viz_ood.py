@@ -53,6 +53,46 @@ def test_aux_bg_summary_keys():
     assert 0 <= out["mIoU"] <= 1
 
 
+def test_media_logger_wandb_masks():
+    """wandb mask media parity (reference: log_media.py:265-290): one
+    wandb.Image per sample carrying predictions + groud_truth mask layers
+    with class_labels, logged under `<Split>/Task <t>/Predictions`."""
+    from bacs_tpu.viz.media import MediaLogger
+
+    class FakeWandb:
+        def __init__(self):
+            self.images = []
+            self.logged = {}
+
+        def Image(self, img, masks=None):
+            self.images.append((np.asarray(img), masks))
+            return ("img", len(self.images) - 1)
+
+        def log(self, payload, commit=True):
+            assert commit is False
+            self.logged.update(payload)
+
+    class FakeLogger:
+        _wandb = FakeWandb()
+
+    m = MediaLogger("/tmp/media_test", max_samples=4)
+    img = np.zeros((2, 8, 8, 3), np.float32)
+    lbl = np.ones((2, 8, 8), np.int32)
+    pred = np.zeros((2, 8, 8), np.int32)
+    m.append("test", img, lbl, pred)
+    m.log_wandb(FakeLogger, task_id=3, class_names=["background", "cat"])
+    w = FakeLogger._wandb
+    assert "Test/Task 3/Predictions" in w.logged
+    assert len(w.logged["Test/Task 3/Predictions"]) == 2
+    _, masks = w.images[0]
+    assert set(masks) == {"predictions", "groud_truth"}
+    np.testing.assert_array_equal(masks["groud_truth"]["mask_data"],
+                                  np.ones((8, 8), np.uint8))
+    assert masks["predictions"]["class_labels"] == {0: "background", 1: "cat"}
+    # no wandb configured → silent no-op
+    m.log_wandb(object(), task_id=0)
+
+
 def test_aux_bg_step_jitted_path():
     """Full aux-bg eval pass through a bg-detector UNet."""
     import jax

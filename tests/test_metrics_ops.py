@@ -22,6 +22,20 @@ def test_iou_reference_case():
     )
 
 
+def test_detailed_metrics_include_specificity():
+    """Specificity = tn/(tn+fp) per class, mean-reduced like the others
+    (reference: training/metrics.py:73-85)."""
+    from bacs_tpu.train.metrics import detailed_iou_metrics
+
+    label = np.array([[0, 0, 1, 1]], np.int32)
+    pred = np.array([[0, 1, 1, 1]], np.int32)
+    cm = np.asarray(confusion_matrix(jnp.asarray(pred), jnp.asarray(label), 2))
+    out = detailed_iou_metrics(cm, initial_classes=2, nb_current_classes=2)
+    # class 0: tn=2 fp=0 → 1.0; class 1: tn=1 fp=1 → 0.5
+    np.testing.assert_allclose(out["Specificity"], 0.75, rtol=1e-6)
+    assert {"mIoU", "Accuracy", "Precision", "Recall"} <= set(out)
+
+
 def test_confusion_ignores_255():
     label = np.array([[0, 1, 255, 1]], np.int32)
     pred = np.array([[0, 1, 1, 0]], np.int32)
