@@ -100,6 +100,7 @@ class DataModule:
         test_source=None,
         domain_ids=None,
         n_domains_per_task: int = 1,
+        input_workers: int = 0,
     ):
         self.train_source = train_source
         self.val_source = val_source
@@ -111,6 +112,10 @@ class DataModule:
         self.sweep = sweep
         self.seed = seed
         self.task_id = 0
+        # multi-process decode pool (reference num_workers semantics,
+        # base_datamodule.py:45-54); engages at >=2 on pool-eligible sources
+        self.input_workers = int(input_workers or 0)
+        self._pools: Dict[int, object] = {}
         # multihost: every process sees the same deterministic global batch
         # plan; `process_shard=True` streams (the jitted step loops) yield
         # only this process's contiguous slice of each global batch, which
@@ -218,17 +223,30 @@ class DataModule:
     def _gather(self, source, indices) -> Dict[str, np.ndarray]:
         # native parallel decode for file-backed sources (C++ thread pool,
         # native/fastdecode.cpp); PIL patches any failed slot
-        batch = getattr(source, "load_batch", None)
-        if batch is not None:
-            out = batch([int(i) for i in indices])
-            if out is not None:
-                return out
-        imgs, lbls = [], []
-        for i in indices:
-            img, lbl = source.load(int(i))
-            imgs.append(img)
-            lbls.append(lbl)
-        return np.stack(imgs), np.stack(lbls)
+        from bacs_tpu.data.decode_pool import gather_host
+
+        return gather_host(source, indices)
+
+    def _host_stream(self, source, index_batches):
+        """Decoded (imgs, lbls) per index batch — through the multi-process
+        decode pool when configured and the source is pool-eligible, else
+        serially in this thread.  Identical stream either way (the pool is
+        order-preserving; tests/test_input_workers.py)."""
+        from bacs_tpu.data.decode_pool import DecodePool, pool_eligible
+
+        if self.input_workers >= 2 and pool_eligible(source):
+            pool = self._pools.get(id(source))
+            if pool is None:
+                pool = DecodePool(source, self.input_workers)
+                self._pools[id(source)] = pool
+            return pool.stream(index_batches)
+        return (self._gather(source, idx) for idx in index_batches)
+
+    def close(self):
+        """Terminate decode workers (idempotent)."""
+        for pool in self._pools.values():
+            pool.close()
+        self._pools.clear()
 
     def _proc_slice(self, global_batch: int):
         """(lo, hi) of this process's contiguous slice of a global batch."""
@@ -293,9 +311,11 @@ class DataModule:
         # prefetch thread was measured at 20.4 img/s vs 45.7 img/s for this
         # single-stage form (scripts/bench_input.py, 1-core host): three
         # Python threads on one core thrash where two pipeline cleanly.
-        for s in range(n_steps):
-            batch_idx = perm[s * global_batch : (s + 1) * global_batch][lo:hi]
-            imgs, lbls = self._gather(self.train_source, batch_idx)
+        idx_batches = [
+            perm[s * global_batch : (s + 1) * global_batch][lo:hi]
+            for s in range(n_steps)
+        ]
+        for imgs, lbls in self._host_stream(self.train_source, idx_batches):
             key, sub = jax.random.split(key)
             if augment:
                 yield transforms.train_transform(
@@ -358,13 +378,16 @@ class DataModule:
             else (0, global_batch)
         )
         n_steps = math.ceil(len(idx) / global_batch)
+        idx_batches, n_reals = [], []
         for s in range(n_steps):
             batch_idx = idx[s * global_batch : (s + 1) * global_batch]
-            n_real = len(batch_idx)
-            if n_real < global_batch:  # pad to static shape
+            n_reals.append(len(batch_idx))
+            if len(batch_idx) < global_batch:  # pad to static shape
                 batch_idx = np.resize(batch_idx, global_batch)
-            batch_idx = batch_idx[lo:hi]
-            imgs, lbls = self._gather(source, batch_idx)
+            idx_batches.append(batch_idx[lo:hi])
+        for n_real, (imgs, lbls) in zip(
+            n_reals, self._host_stream(source, idx_batches)
+        ):
             if n_real < hi:
                 # padded duplicates must not count toward metrics; global
                 # positions >= n_real fall in this process's [lo, hi) slice
@@ -403,6 +426,11 @@ def create_datamodule(config) -> DataModule:
         num_classes=num_classes,
         crop_size=crop,
         batch_size=int(tcfg.get("batch_size", 8)),
+        # reference num_workers semantics (base_datamodule.py:45-54);
+        # `input_workers` wins if both are set
+        input_workers=int(
+            tcfg.get("input_workers", tcfg.get("num_workers", 0)) or 0
+        ),
         initial_increment=int(tcfg.get("initial_increment", 0) or 0),
         increment=int(tcfg.get("increment", 0) or 0),
         mode=str(tcfg.get("mode", "overlap")),
