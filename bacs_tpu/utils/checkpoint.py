@@ -106,7 +106,12 @@ def restore_checkpoint(path: str, target: Any) -> Any:
     import orbax.checkpoint as ocp
 
     with ocp.PyTreeCheckpointer() as ckptr:
-        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        # local_devices, not devices: under multihost, devices()[0] is the
+        # coordinator's device — non-addressable from other processes, which
+        # must restore onto their own first device (state is replicated, so
+        # every process restores identical values; replicate_to_global then
+        # rebuilds the global arrays at the next task start)
+        sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
 
         def _as_abstract(x):
             if hasattr(x, "shape") and hasattr(x, "dtype"):

@@ -219,6 +219,143 @@ def test_process_shard_slices_partition_the_global_batch():
 
 import pytest
 
+RESUME_WORKER = """
+import os
+import sys
+
+pid, n, port, mode, ckpt_dir = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5]
+)
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+from bacs_tpu.parallel.mesh import multihost_init
+
+multihost_init(
+    coordinator_address=f"127.0.0.1:{{port}}",
+    num_processes=n,
+    process_id=pid,
+)
+
+import numpy as np
+import bacs_tpu.utils.checkpoint as ckpt_mod
+from bacs_tpu.config import load_config
+from bacs_tpu.train.loop import Trainer
+
+if mode == "kill":
+    # hard-exit both processes right after the 2nd mid-task save of task 1
+    # commits (blocking save: the restored state is exactly the live state)
+    real_save = ckpt_mod.save_task_checkpoint
+    seen = {{"n": 0}}
+
+    def killing_save(ckpt_dir_, task_id, state, step="final", block=True):
+        mid_task = str(step).startswith("last") and task_id == 1
+        out = real_save(ckpt_dir_, task_id, state,
+                        step=step, block=True if mid_task else block)
+        if mid_task:
+            seen["n"] += 1
+            if seen["n"] == 2:
+                print("KILLED_AT task1 save2", flush=True)
+                os._exit(17)
+        return out
+
+    ckpt_mod.save_task_checkpoint = killing_save
+
+config = load_config(
+    {repo!r} + "/conf/continual_debug", "config",
+    [
+        "+training.n_devices=4",
+        "dataset.dataset.crop_size=32",
+        "dataset.dataset.n_train=48",
+        "training.epochs=2",
+        "training.debug=false",  # debug disables resume (trainer.py:261)
+        "training.val_every=0",
+        "+training.ckpt_dir=" + ckpt_dir,
+        "+training.ckpt_every_steps=1",
+    ],
+)
+trainer = Trainer(config)
+miou = trainer.fit()
+checksum = float(
+    sum(np.abs(np.asarray(x, np.float64)).sum()
+        for x in jax.tree.leaves(trainer.state.params))
+)
+print(f"FINAL mIoU={{miou:.6f}} params={{checksum:.6f}}", flush=True)
+"""
+
+
+def _run_pair(script, port, mode, ckpt_dir, timeout):
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), "2", str(port), mode,
+             str(ckpt_dir)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=dict(os.environ), cwd=os.path.abspath(REPO),
+        )
+        for pid in (0, 1)
+    ]
+    try:
+        outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    return procs, outs
+
+
+@pytest.mark.slow
+def test_two_process_kill_and_resume_bit_identical(tmp_path):
+    """Multihost mid-task crash + resume (VERDICT r3 next #4): kill both
+    processes right after a committed mid-task checkpoint inside task 1,
+    relaunch on the same ckpt_dir, and require the resumed run's final
+    state to be BIT-IDENTICAL to an uninterrupted run (reference resume
+    semantics: trainer.py:254-268; here the whole TrainState incl. epoch
+    and intra-epoch step resumes batch-exactly)."""
+    script = tmp_path / "resume_worker.py"
+    script.write_text(RESUME_WORKER.format(repo=os.path.abspath(REPO)))
+
+    def finals(outs):
+        out = []
+        for o in outs:
+            lines = [l for l in o.splitlines() if l.startswith("FINAL ")]
+            assert lines, o
+            out.append(lines[-1])
+        return out
+
+    # uninterrupted baseline (checkpoints on, separate dir)
+    procs, outs = _run_pair(
+        script, _free_port(), "full", tmp_path / "ckpt_full", 420
+    )
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o
+    base = finals(outs)
+    assert base[0] == base[1], base
+
+    # killed run: both processes exit 17 after task 1's 2nd mid-task save
+    procs, outs = _run_pair(
+        script, _free_port(), "kill", tmp_path / "ckpt_kill", 420
+    )
+    for p, o in zip(procs, outs):
+        assert p.returncode == 17, o
+        assert "KILLED_AT task1 save2" in o
+    # the crash left a committed mid-task checkpoint for task 1, no final
+    step1 = tmp_path / "ckpt_kill" / "step_1"
+    assert step1.is_dir() and not (step1 / "final").exists()
+
+    # resume on the same dir must reach the baseline's exact final state
+    procs, outs = _run_pair(
+        script, _free_port(), "resume", tmp_path / "ckpt_kill", 420
+    )
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o
+    # the logger is coordinator-gated; only process 0 prints the resume line
+    assert "resumed mid-task 1" in outs[0], outs[0]
+    res = finals(outs)
+    assert res[0] == res[1], res
+    assert res[0] == base[0], (res, base)
+
 
 @pytest.mark.slow
 def test_two_process_trainer_fit_bacs(tmp_path):
