@@ -23,18 +23,20 @@ Decomposition (v2 kernel, round 2):
               H-interp accumulated into dz; the W-interp transpose runs
               outside as one einsum.
 
-Layout note: every in-kernel reshape merges/splits leading dims or
-tile-aligned minors only (Mosaic relayout-free).
-
-Structure (round 3): the differentiable primitives return raw SUMS
-(loss_sum, count) with a static `interp` spec; the public mean ops divide
-outside (AD through the division distributes 1/count into the kernel's g).
-The `interp` spec `(scale, offset)` generalizes the H matrix to SHARD-LOCAL
-windows, which is what makes the kernels compose with GSPMD spatial
-partitioning: `spatial_*` wrappers shard_map over a (data, space) mesh,
-halo-exchange ONE boundary row per neighbor (ppermute — replicate-padding
-at the global edges is mathematically identical to the clamped matrix), run
-the same Pallas kernels on the local block, and psum the partial sums.
+Structure (round 4 refactor): ALL scaffolding — interp matrices, operand
+prep, BlockSpecs, the kernel head/tail (grid, init, tile read, scalar-slot
+store, dz scatter), call wrappers and the TPU gate — lives in
+ops/upsample_tiles.py; this module holds each loss variant's per-tile MATH
+plus the custom-VJP primitives and the public mean ops.  The differentiable
+primitives return raw SUMS (loss_sum, count) with a static `interp` spec;
+the public mean ops divide outside (AD through the division distributes
+1/count into the kernel's g).  The `interp` spec `(scale, offset)`
+generalizes the H matrix to SHARD-LOCAL windows, which is what makes the
+kernels compose with GSPMD spatial partitioning: `spatial_*` wrappers
+shard_map over a (data, space) mesh, halo-exchange ONE boundary row per
+neighbor (ppermute — replicate-padding at the global edges is
+mathematically identical to the clamped matrix), run the same Pallas
+kernels on the local block, and psum the partial sums.
 
 Semantics match ops/interpolate.resize_bilinear(align_corners=False) +
 ops/losses.cross_entropy (mean over non-ignore pixels); a jnp reference path
@@ -51,94 +53,35 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from bacs_tpu.ops.pallas_params import tpu_compiler_params
+from bacs_tpu.ops.upsample_tiles import (
+    NEG,
+    ROW_BLOCK,
+    block_kh as _block_kh,
+    call_dz,
+    call_sums,
+    gvec_spec as _gvec_spec,
+    kmats as _kmats,
+    make_dz_kernel,
+    make_pair_dz_kernel,
+    make_pair_sums_kernel,
+    make_sums_kernel,
+    ms_spec as _ms_spec,
+    onehot_valid,
+    pad_w as _pad_w,
+    prep_call as _prep_call,
+    prep_call_pair as _prep_call_pair,
+    upsample_jnp as _upsample_jnp,
+    use_pallas as _use_pallas,
+    w_interp as _w_interp,
+    wvec_spec as _wvec_spec,
+)
 
 Array = jax.Array
 
-NEG = -1e30
-ROW_BLOCK = 32  # output rows per grid step
-
-
-def _interp_matrix(
-    out_dim: int,
-    in_dim: int,
-    scale: Optional[float] = None,
-    offset: float = 0.0,
-    clamp: bool = True,
-) -> np.ndarray:
-    """[out, in] bilinear matrix with half-pixel centers (align_corners=False).
-
-    `scale`/`offset`/`clamp=False` build SHARD-LOCAL windows: coords =
-    (r+0.5)·scale − 0.5 + offset indexes a halo-padded local block (the
-    spatial-partitioning path; uniform across shards because the shard size
-    divides the 8× upsample period).
-    """
-    if scale is None:
-        if out_dim == in_dim:
-            k = np.zeros((out_dim, in_dim), np.float32)
-            np.fill_diagonal(k, 1.0)
-            return k
-        scale = in_dim / out_dim
-    k = np.zeros((out_dim, in_dim), np.float32)
-    coords = (np.arange(out_dim) + 0.5) * scale - 0.5 + offset
-    if clamp:
-        coords = np.clip(coords, 0, in_dim - 1)
-    lo = np.floor(coords).astype(np.int64)
-    assert lo.min() >= 0 and lo.max() + 1 <= in_dim, (
-        f"interp window escapes the block: {lo.min()}..{lo.max()+1} vs {in_dim}"
-    )
-    hi = np.clip(lo + 1, 0, in_dim - 1)
-    w = (coords - lo).astype(np.float32)
-    k[np.arange(out_dim), lo] += 1.0 - w
-    k[np.arange(out_dim), hi] += w
-    return k
-
-
-def _kmats(sem, out_hw, interp=None):
-    """Dense numpy (kh, kw) for this op instance.  `interp=(scale, offset)`
-    selects the unclamped shard-local H matrix."""
-    if interp is None:
-        kh = _interp_matrix(out_hw[0], sem.shape[1])
-    else:
-        scale, offset = interp
-        kh = _interp_matrix(
-            out_hw[0], sem.shape[1], scale=scale, offset=offset, clamp=False
-        )
-    kw = _interp_matrix(out_hw[1], sem.shape[2])
-    return kh, kw
-
-
-def _block_kh(k: np.ndarray, R: int):
-    """Block-local H-interp: (starts[j], kh_blocks[j, R, hb]).
-
-    Row block j of the output reads only a short contiguous input-row window
-    (8× upsampling → ~R/8+2 rows); `starts` are static sublane-aligned
-    offsets, `kh_blocks` the dense interp slice for that window.
-    """
-    H, h = k.shape
-    n_j = H // R
-    hb = int(np.ceil(R * h / H)) + 2 + 8  # span + alignment slack
-    hb = min(((hb + 15) // 16) * 16, h)
-    starts = np.zeros((n_j,), np.int32)
-    blocks = np.zeros((n_j, R, hb), np.float32)
-    for j in range(n_j):
-        rows = k[j * R : (j + 1) * R]
-        nz = np.nonzero(rows.any(axis=0))[0]
-        start = max(min(int(nz.min()) // 8 * 8, h - hb), 0)
-        assert int(nz.max()) < start + hb
-        starts[j] = start
-        blocks[j] = rows[:, start : start + hb]
-    return jnp.asarray(starts), jnp.asarray(blocks)
-
 
 # ---------------------------------------------------------------------------
-# jnp reference implementation (and non-TPU fallback)
+# plain CE: per-tile math, sums primitive + public mean op
 # ---------------------------------------------------------------------------
-
-
-def _upsample_jnp(sem, kh, kw):
-    up = jnp.einsum("Hh,nhwc->nHwc", jnp.asarray(kh), sem.astype(jnp.float32))
-    return jnp.einsum("Ww,nHwc->nHWc", jnp.asarray(kw), up)
 
 
 def _ce_sums_jnp(sem, labels, kh, kw, ignore_index):
@@ -151,219 +94,38 @@ def _ce_sums_jnp(sem, labels, kh, kw, ignore_index):
     return loss_sum, jnp.sum(mask).astype(jnp.float32)
 
 
-# ---------------------------------------------------------------------------
-# Pallas TPU kernels
-# ---------------------------------------------------------------------------
-
-
-def _fwd_kernel(starts_ref, z_ref, labels_ref, kh_ref, out_ref, *, hb):
-    """grid = (N, H // ROW_BLOCK); out_ref: [N, 8, 128] — (loss_sum, count)
-    live at [n, 0, 0] / [n, 0, 1], the rest pads the min TPU tile."""
-    import jax.experimental.pallas as pl
-
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _init():
-        out_ref[...] = jnp.zeros_like(out_ref)
-
-    start = starts_ref[j]
-    zs = z_ref[0, pl.ds(start, hb)]  # [hb, c, W]
-    ky = kh_ref[0]  # [R, hb]
-    tile = jnp.einsum("Rh,hcW->RcW", ky, zs, preferred_element_type=jnp.float32)
-    labels = labels_ref[0]  # [R, W]
-    c_pad = tile.shape[1]
-    # padded channels were filled with −1e30 upstream: exp(pad − m) == 0,
-    # so no channel mask is needed anywhere
+def _ce_tile_sums(tile, labels):
+    """(Σ nll over valid pixels, valid count) for one [R, c, W] tile.
+    Padded channels were filled with −1e30 upstream: exp(pad − m) == 0,
+    so no channel mask is needed anywhere."""
     m = jnp.max(tile, axis=1)
     e = jnp.exp(tile - m[:, None, :])
     lse = m + jnp.log(jnp.sum(e, axis=1))
-    valid = labels != 255
-    safe = jnp.where(valid, labels, 0)
-    ch = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad, 1), 1)
-    onehot = ch == safe[:, None, :]
-    lab = jnp.sum(jnp.where(onehot, tile, 0.0), axis=1)
+    valid, _, _, onehot = onehot_valid(labels, tile.shape[1])
+    lab = jnp.sum(onehot * tile, axis=1)
     loss_sum = jnp.sum(jnp.where(valid, lse - lab, 0.0))
-    count = jnp.sum(valid.astype(jnp.float32))
-    # scalar stores to VMEM are not lowerable — write a masked [8,128] tile
-    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    upd = jnp.where((row == 0) & (col == 0), loss_sum, 0.0) + jnp.where(
-        (row == 0) & (col == 1), count, 0.0
-    )
-    out_ref[0] += upd
+    return loss_sum, jnp.sum(valid.astype(jnp.float32))
 
 
-def _bwd_kernel(starts_ref, z_ref, labels_ref, kh_ref, g_ref, dz_ref, *, hb,
-                per_image_g=False):
-    import jax.experimental.pallas as pl
-
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _init():
-        dz_ref[...] = jnp.zeros_like(dz_ref)
-
-    start = starts_ref[j]
-    zs = z_ref[0, pl.ds(start, hb)]
-    ky = kh_ref[0]
-    tile = jnp.einsum("Rh,hcW->RcW", ky, zs, preferred_element_type=jnp.float32)
-    labels = labels_ref[0]
-    c_pad = tile.shape[1]
+def _ce_tile_grad(tile, labels, g):
     m = jnp.max(tile, axis=1, keepdims=True)
     e = jnp.exp(tile - m)
     softmax = e / jnp.sum(e, axis=1, keepdims=True)
-    valid = labels != 255
-    safe = jnp.where(valid, labels, 0)
-    ch = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad, 1), 1)
-    onehot = (ch == safe[:, None, :]).astype(jnp.float32)
-    # per_image_g: g_ref is the UNBLOCKED [N, 1] SMEM cotangent vector
-    # (blocked (1,1) specs over [N,1] are rejected by the Mosaic lowering)
-    g = g_ref[pl.program_id(0), 0] if per_image_g else g_ref[0, 0]
-    dtile = (softmax - onehot) * (valid.astype(jnp.float32) * g)[:, None, :]
-    upd = jnp.einsum("Rh,RcW->hcW", ky, dtile, preferred_element_type=jnp.float32)
-    dz_ref[0, pl.ds(start, hb)] += upd
-
-
-def _pad_c_neg(z: Array, mult: int = 8) -> Array:
-    pad = (-z.shape[2]) % mult
-    if pad:
-        z = jnp.pad(z, ((0, 0), (0, 0), (0, pad), (0, 0)), constant_values=NEG)
-    return z
-
-
-def _w_interp(sem: Array, kw: np.ndarray) -> Array:
-    """[n,h,w,c] → [n,h,c,W] f32 with −1e30 channel padding."""
-    z = jnp.einsum("Ww,nhwc->nhcW", jnp.asarray(kw), sem.astype(jnp.float32))
-    return _pad_c_neg(z)
-
-
-def _prep_call(sem, labels, kh, kw):
-    """Shared pallas_call scaffolding for every upsample+CE variant:
-    (lead_args, lead_specs, dims) — lead operands are always
-    (starts, z, labels, kh_blocks) with identical BlockSpecs; variants
-    append their extra operands after these.  kh/kw are dense NUMPY
-    matrices (possibly shard-local)."""
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n, h, w, _ = sem.shape
-    H, W = kh.shape[0], kw.shape[0]
-    z = _w_interp(sem, kw)
-    c_pad = z.shape[2]
-    starts, kh_blocks = _block_kh(kh, ROW_BLOCK)
-    hb = kh_blocks.shape[2]
-    lead_args = (starts, z, labels.astype(jnp.int32), kh_blocks)
-    lead_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, h, c_pad, W), lambda i, j: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ROW_BLOCK, W), lambda i, j: (i, j, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ROW_BLOCK, hb), lambda i, j: (j, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    dims = dict(n=n, h=h, H=H, W=W, c_pad=c_pad, hb=hb,
-                grid=(n, H // ROW_BLOCK))
-    return lead_args, lead_specs, dims
-
-
-def _sum_out_spec(dims):
-    """Per-image scalar accumulator tile (loss_sum/count at [n,0,0..1])."""
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    return (
-        jax.ShapeDtypeStruct((dims["n"], 8, 128), jnp.float32),
-        pl.BlockSpec((1, 8, 128), lambda i, j: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-    )
-
-
-def _dz_out_spec(dims):
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    return (
-        jax.ShapeDtypeStruct(
-            (dims["n"], dims["h"], dims["c_pad"], dims["W"]), jnp.float32
-        ),
-        pl.BlockSpec(
-            (1, dims["h"], dims["c_pad"], dims["W"]),
-            lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM,
-        ),
-    )
-
-
-def _g_spec():
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    return pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
-
-
-def _wvec_spec(dims):
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    return pl.BlockSpec((1, dims["c_pad"], 1), lambda i, j: (0, 0, 0),
-                        memory_space=pltpu.VMEM)
-
-
-def _ms_spec(dims):
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    return pl.BlockSpec((1, ROW_BLOCK, dims["W"]), lambda i, j: (i, j, 0),
-                        memory_space=pltpu.VMEM)
+    valid, _, _, onehot = onehot_valid(labels, tile.shape[1])
+    return (softmax - onehot) * (valid.astype(jnp.float32) * g)[:, None, :]
 
 
 def _ce_sums_pallas(sem, labels, kh, kw):
-    # same pallas_call as the per-image variant (defined with the PLOP
-    # kernels below), reduced over images — one scaffolding to maintain
+    # same pallas_call as the per-image variant, reduced over images —
+    # one kernel instance to maintain
     ls, cnt = _ce_sums_per_image_pallas(sem, labels, kh, kw)
     return jnp.sum(ls), jnp.sum(cnt)
 
 
-def _dsem_pallas(sem, labels, kh, kw, g):
-    import jax.experimental.pallas as pl
-
-    lead, specs, dims = _prep_call(sem, labels, kh, kw)
-    out_shape, out_spec = _dz_out_spec(dims)
-    dz = pl.pallas_call(
-        partial(_bwd_kernel, hb=dims["hb"]),
-        out_shape=out_shape,
-        grid=dims["grid"],
-        in_specs=specs + [_g_spec()],
-        out_specs=out_spec,
-        compiler_params=tpu_compiler_params(),
-    )(*lead, g.reshape(1, 1))
-    # transpose W-interp outside (one einsum on the small side)
-    dsem = jnp.einsum("Ww,nhcW->nhwc", jnp.asarray(kw),
-                      dz[:, :, : sem.shape[-1], :])
-    return dsem.astype(sem.dtype)
-
-
-# ---------------------------------------------------------------------------
-# plain CE: sums primitive + public mean op
-# ---------------------------------------------------------------------------
-
-
-def _use_pallas(sem, out_hw) -> bool:
-    try:
-        if jax.default_backend() != "tpu":
-            return False
-    except Exception:  # pragma: no cover
-        return False
-    h = sem.shape[1]
-    return (
-        out_hw[0] % ROW_BLOCK == 0
-        # W is the kernel's lane dimension — Mosaic rejects sub-128 lane
-        # reshapes (observed: smoke shapes W=64 fail "unsupported shape
-        # cast"); production 512² is a multiple
-        and out_hw[1] % 128 == 0
-        and out_hw[0] >= h
-        and out_hw[1] >= sem.shape[2]
+def _dsem_pallas(sem, labels, kh, kw, g, per_image=False):
+    return call_dz(
+        make_dz_kernel(_ce_tile_grad, per_image_g=per_image),
+        _prep_call(sem, labels, kh, kw), kw, sem, g, g_is_vec=per_image,
     )
 
 
@@ -443,111 +205,48 @@ def _wce_sums_jnp(sem, labels, weights, kh, kw, ignore_index):
     return jnp.sum((lse - lab) * wpix), jnp.sum(wpix)
 
 
-def _fwd_kernel_w(starts_ref, z_ref, labels_ref, kh_ref, w_ref, out_ref, *, hb):
-    import jax.experimental.pallas as pl
+def _wce_pixel_weights(labels, w_ref, tile_c):
+    """Per-pixel weight w[y]·valid from the [c_pad, 1] class vector
+    (pad channels carry weight 0)."""
+    valid, _, _, onehot = onehot_valid(labels, tile_c)
+    wpix = jnp.sum(onehot * w_ref[0][None, :, :], axis=1)
+    return valid, onehot, wpix * valid.astype(jnp.float32)
 
-    j = pl.program_id(1)
 
-    @pl.when(j == 0)
-    def _init():
-        out_ref[...] = jnp.zeros_like(out_ref)
-
-    start = starts_ref[j]
-    zs = z_ref[0, pl.ds(start, hb)]
-    ky = kh_ref[0]
-    tile = jnp.einsum("Rh,hcW->RcW", ky, zs, preferred_element_type=jnp.float32)
-    labels = labels_ref[0]
-    c_pad = tile.shape[1]
+def _wce_tile_sums(tile, labels, w_ref):
     m = jnp.max(tile, axis=1)
     e = jnp.exp(tile - m[:, None, :])
     lse = m + jnp.log(jnp.sum(e, axis=1))
-    valid = labels != 255
-    safe = jnp.where(valid, labels, 0)
-    ch = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad, 1), 1)
-    onehot = ch == safe[:, None, :]
-    lab = jnp.sum(jnp.where(onehot, tile, 0.0), axis=1)
-    wv = w_ref[0]  # [c_pad, 1]; pad channels carry weight 0
-    wpix = jnp.sum(jnp.where(onehot, wv[None, :, :], 0.0), axis=1)
-    wpix = wpix * valid.astype(jnp.float32)
-    loss_sum = jnp.sum((lse - lab) * wpix)
-    wsum = jnp.sum(wpix)
-    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    upd = jnp.where((row == 0) & (col == 0), loss_sum, 0.0) + jnp.where(
-        (row == 0) & (col == 1), wsum, 0.0
-    )
-    out_ref[0] += upd
+    _, onehot, wpix = _wce_pixel_weights(labels, w_ref, tile.shape[1])
+    lab = jnp.sum(onehot * tile, axis=1)
+    return jnp.sum((lse - lab) * wpix), jnp.sum(wpix)
 
 
-def _bwd_kernel_w(starts_ref, z_ref, labels_ref, kh_ref, w_ref, g_ref, dz_ref,
-                  *, hb):
-    import jax.experimental.pallas as pl
-
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _init():
-        dz_ref[...] = jnp.zeros_like(dz_ref)
-
-    start = starts_ref[j]
-    zs = z_ref[0, pl.ds(start, hb)]
-    ky = kh_ref[0]
-    tile = jnp.einsum("Rh,hcW->RcW", ky, zs, preferred_element_type=jnp.float32)
-    labels = labels_ref[0]
-    c_pad = tile.shape[1]
+def _wce_tile_grad(tile, labels, g, w_ref):
     m = jnp.max(tile, axis=1, keepdims=True)
     e = jnp.exp(tile - m)
     softmax = e / jnp.sum(e, axis=1, keepdims=True)
-    valid = labels != 255
-    safe = jnp.where(valid, labels, 0)
-    ch = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad, 1), 1)
-    onehot = (ch == safe[:, None, :]).astype(jnp.float32)
-    wv = w_ref[0]
-    wpix = jnp.sum(jnp.where(onehot > 0, wv[None, :, :], 0.0), axis=1)
-    wpix = wpix * valid.astype(jnp.float32)
-    g = g_ref[0, 0]
-    dtile = (softmax - onehot) * (wpix * g)[:, None, :]
-    upd = jnp.einsum("Rh,RcW->hcW", ky, dtile, preferred_element_type=jnp.float32)
-    dz_ref[0, pl.ds(start, hb)] += upd
-
-
-def _pad_w(weights: Array, c_pad: int) -> Array:
-    w = weights.astype(jnp.float32)
-    return jnp.pad(w, (0, c_pad - w.shape[0])).reshape(1, c_pad, 1)
+    _, onehot, wpix = _wce_pixel_weights(labels, w_ref, tile.shape[1])
+    return (softmax - onehot) * (wpix * g)[:, None, :]
 
 
 def _wce_sums_pallas(sem, labels, weights, kh, kw):
-    import jax.experimental.pallas as pl
-
-    lead, specs, dims = _prep_call(sem, labels, kh, kw)
-    out_shape, out_spec = _sum_out_spec(dims)
-    out = pl.pallas_call(
-        partial(_fwd_kernel_w, hb=dims["hb"]),
-        out_shape=out_shape,
-        grid=dims["grid"],
-        in_specs=specs + [_wvec_spec(dims)],
-        out_specs=out_spec,
-        compiler_params=tpu_compiler_params(),
-    )(*lead, _pad_w(weights, dims["c_pad"]))
+    prep = _prep_call(sem, labels, kh, kw)
+    out = call_sums(
+        make_sums_kernel(_wce_tile_sums), prep,
+        extras=(_pad_w(weights, prep[2]["c_pad"]),),
+        extra_specs=(_wvec_spec(prep[2]),),
+    )
     return jnp.sum(out[:, 0, 0]), jnp.sum(out[:, 0, 1])
 
 
 def _dsem_pallas_w(sem, labels, weights, kh, kw, g):
-    import jax.experimental.pallas as pl
-
-    lead, specs, dims = _prep_call(sem, labels, kh, kw)
-    out_shape, out_spec = _dz_out_spec(dims)
-    dz = pl.pallas_call(
-        partial(_bwd_kernel_w, hb=dims["hb"]),
-        out_shape=out_shape,
-        grid=dims["grid"],
-        in_specs=specs + [_wvec_spec(dims), _g_spec()],
-        out_specs=out_spec,
-        compiler_params=tpu_compiler_params(),
-    )(*lead, _pad_w(weights, dims["c_pad"]), g.reshape(1, 1))
-    dsem = jnp.einsum("Ww,nhcW->nhwc", jnp.asarray(kw),
-                      dz[:, :, : sem.shape[-1], :])
-    return dsem.astype(sem.dtype)
+    prep = _prep_call(sem, labels, kh, kw)
+    return call_dz(
+        make_dz_kernel(_wce_tile_grad), prep, kw, sem, g,
+        extras=(_pad_w(weights, prep[2]["c_pad"]),),
+        extra_specs=(_wvec_spec(prep[2]),),
+    )
 
 
 def _wce_sums(sem, labels, weights, out_hw, ignore_index, interp):
@@ -648,10 +347,7 @@ def _bacs_terms(tile, labels, ms, old_classes, gamma, threshold, ukd):
     p = e / se  # [R, c, W]
     den = m[:, 0, :] + jnp.log(se[:, 0, :])  # lse over channels
 
-    valid = labels != 255
-    safe = jnp.where(valid, labels, 0)
-    ch = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad, 1), 1)
-    onehot = (ch == safe[:, None, :]).astype(jnp.float32)
+    valid, safe, ch, onehot = onehot_valid(labels, c_pad)
     is_fg_ch = (ch >= 1).astype(jnp.float32)
     is_old_ch = (ch < old_classes).astype(jnp.float32)
 
@@ -697,85 +393,27 @@ def _bacs_terms(tile, labels, ms, old_classes, gamma, threshold, ukd):
     return (l1 + l2) * vm, (g1 + g2) * vm[:, None, :]
 
 
-def _bacs_fwd_kernel(starts_ref, z_ref, labels_ref, kh_ref, ms_ref, out_ref,
-                     *, hb, old_classes, gamma, threshold, ukd):
-    import jax.experimental.pallas as pl
-
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _init():
-        out_ref[...] = jnp.zeros_like(out_ref)
-
-    start = starts_ref[j]
-    zs = z_ref[0, pl.ds(start, hb)]
-    ky = kh_ref[0]
-    tile = jnp.einsum("Rh,hcW->RcW", ky, zs, preferred_element_type=jnp.float32)
-    loss_map, _ = _bacs_terms(
-        tile, labels_ref[0], ms_ref[0], old_classes, gamma, threshold, ukd
-    )
-    loss_sum = jnp.sum(loss_map)
-    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    out_ref[0] += jnp.where((row == 0) & (col == 0), loss_sum, 0.0)
-
-
-def _bacs_bwd_kernel(starts_ref, z_ref, labels_ref, kh_ref, ms_ref, g_ref,
-                     dz_ref, *, hb, old_classes, gamma, threshold, ukd):
-    import jax.experimental.pallas as pl
-
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _init():
-        dz_ref[...] = jnp.zeros_like(dz_ref)
-
-    start = starts_ref[j]
-    zs = z_ref[0, pl.ds(start, hb)]
-    ky = kh_ref[0]
-    tile = jnp.einsum("Rh,hcW->RcW", ky, zs, preferred_element_type=jnp.float32)
-    _, grad = _bacs_terms(
-        tile, labels_ref[0], ms_ref[0], old_classes, gamma, threshold, ukd
-    )
-    g = g_ref[0, 0]
-    upd = jnp.einsum(
-        "Rh,RcW->hcW", ky, grad * g, preferred_element_type=jnp.float32
-    )
-    dz_ref[0, pl.ds(start, hb)] += upd
-
-
 def _bacs_pallas(sem, labels, max_seen, kh, kw, old_classes, gamma,
                  threshold, ukd, want_grad, g=None):
-    import jax.experimental.pallas as pl
+    prep = _prep_call(sem, labels, kh, kw)
+    extras = (max_seen.astype(jnp.float32),)
+    extra_specs = (_ms_spec(prep[2]),)
 
-    lead, specs, dims = _prep_call(sem, labels, kh, kw)
-    statics = dict(hb=dims["hb"], old_classes=old_classes, gamma=gamma,
-                   threshold=threshold, ukd=ukd)
-    args = (*lead, max_seen.astype(jnp.float32))
-    specs = specs + [_ms_spec(dims)]
+    def sums(tile, labels_b, ms_ref):
+        loss_map, _ = _bacs_terms(tile, labels_b, ms_ref[0], old_classes,
+                                  gamma, threshold, ukd)
+        return (jnp.sum(loss_map),)
+
+    def grad(tile, labels_b, g_s, ms_ref):
+        _, gmap = _bacs_terms(tile, labels_b, ms_ref[0], old_classes,
+                              gamma, threshold, ukd)
+        return gmap * g_s
+
     if not want_grad:
-        out_shape, out_spec = _sum_out_spec(dims)
-        out = pl.pallas_call(
-            partial(_bacs_fwd_kernel, **statics),
-            out_shape=out_shape,
-            grid=dims["grid"],
-            in_specs=specs,
-            out_specs=out_spec,
-            compiler_params=tpu_compiler_params(),
-        )(*args)
+        out = call_sums(make_sums_kernel(sums), prep, extras, extra_specs)
         return jnp.sum(out[:, 0, 0])
-    out_shape, out_spec = _dz_out_spec(dims)
-    dz = pl.pallas_call(
-        partial(_bacs_bwd_kernel, **statics),
-        out_shape=out_shape,
-        grid=dims["grid"],
-        in_specs=specs + [_g_spec()],
-        out_specs=out_spec,
-        compiler_params=tpu_compiler_params(),
-    )(*args, g.reshape(1, 1))
-    dsem = jnp.einsum("Ww,nhcW->nhwc", jnp.asarray(kw),
-                      dz[:, :, : sem.shape[-1], :])
-    return dsem.astype(sem.dtype)
+    return call_dz(make_dz_kernel(grad), prep, kw, sem, g, extras,
+                   extra_specs)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
@@ -885,10 +523,7 @@ def _uce_terms(tile, labels, old_classes):
     p = e / se
     den = m[:, 0, :] + jnp.log(se[:, 0, :])
 
-    valid = labels != 255
-    safe = jnp.where(valid, labels, 0)
-    ch = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad, 1), 1)
-    onehot = (ch == safe[:, None, :]).astype(jnp.float32)
+    valid, safe, ch, onehot = onehot_valid(labels, c_pad)
     is_old_ch = (ch < old_classes).astype(jnp.float32)
 
     eps = 1e-30
@@ -905,81 +540,22 @@ def _uce_terms(tile, labels, old_classes):
     return l * vm, g * vm[:, None, :]
 
 
-def _uce_fwd_kernel(starts_ref, z_ref, labels_ref, kh_ref, out_ref, *, hb,
-                    old_classes):
-    import jax.experimental.pallas as pl
-
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _init():
-        out_ref[...] = jnp.zeros_like(out_ref)
-
-    start = starts_ref[j]
-    zs = z_ref[0, pl.ds(start, hb)]
-    ky = kh_ref[0]
-    tile = jnp.einsum("Rh,hcW->RcW", ky, zs, preferred_element_type=jnp.float32)
-    labels = labels_ref[0]
-    loss_map, _ = _uce_terms(tile, labels, old_classes)
-    loss_sum = jnp.sum(loss_map)
-    count = jnp.sum((labels != 255).astype(jnp.float32))
-    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    out_ref[0] += jnp.where((row == 0) & (col == 0), loss_sum, 0.0) + jnp.where(
-        (row == 0) & (col == 1), count, 0.0
-    )
-
-
-def _uce_bwd_kernel(starts_ref, z_ref, labels_ref, kh_ref, g_ref, dz_ref, *,
-                    hb, old_classes):
-    import jax.experimental.pallas as pl
-
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _init():
-        dz_ref[...] = jnp.zeros_like(dz_ref)
-
-    start = starts_ref[j]
-    zs = z_ref[0, pl.ds(start, hb)]
-    ky = kh_ref[0]
-    tile = jnp.einsum("Rh,hcW->RcW", ky, zs, preferred_element_type=jnp.float32)
-    _, grad = _uce_terms(tile, labels_ref[0], old_classes)
-    g = g_ref[0, 0]
-    upd = jnp.einsum(
-        "Rh,RcW->hcW", ky, grad * g, preferred_element_type=jnp.float32
-    )
-    dz_ref[0, pl.ds(start, hb)] += upd
-
-
 def _uce_pallas(sem, labels, kh, kw, old_classes, want_grad, g=None):
-    import jax.experimental.pallas as pl
+    prep = _prep_call(sem, labels, kh, kw)
 
-    lead, specs, dims = _prep_call(sem, labels, kh, kw)
-    statics = dict(hb=dims["hb"], old_classes=old_classes)
+    def sums(tile, labels_b):
+        loss_map, _ = _uce_terms(tile, labels_b, old_classes)
+        count = jnp.sum((labels_b != 255).astype(jnp.float32))
+        return jnp.sum(loss_map), count
+
+    def grad(tile, labels_b, g_s):
+        _, gmap = _uce_terms(tile, labels_b, old_classes)
+        return gmap * g_s
+
     if not want_grad:
-        out_shape, out_spec = _sum_out_spec(dims)
-        out = pl.pallas_call(
-            partial(_uce_fwd_kernel, **statics),
-            out_shape=out_shape,
-            grid=dims["grid"],
-            in_specs=specs,
-            out_specs=out_spec,
-            compiler_params=tpu_compiler_params(),
-        )(*lead)
+        out = call_sums(make_sums_kernel(sums), prep)
         return jnp.sum(out[:, 0, 0]), jnp.sum(out[:, 0, 1])
-    out_shape, out_spec = _dz_out_spec(dims)
-    dz = pl.pallas_call(
-        partial(_uce_bwd_kernel, **statics),
-        out_shape=out_shape,
-        grid=dims["grid"],
-        in_specs=specs + [_g_spec()],
-        out_specs=out_spec,
-        compiler_params=tpu_compiler_params(),
-    )(*lead, g.reshape(1, 1))
-    dsem = jnp.einsum("Ww,nhcW->nhwc", jnp.asarray(kw),
-                      dz[:, :, : sem.shape[-1], :])
-    return dsem.astype(sem.dtype)
+    return call_dz(make_dz_kernel(grad), prep, kw, sem, g)
 
 
 def _uce_sums(sem, labels, out_hw, old_classes, ignore_index, interp):
@@ -1116,114 +692,22 @@ def _ukd_terms(tile_new, tile_old, c_old, alpha):
     return t, g
 
 
-def _prep_call_pair(sem_new, sem_old, kh, kw):
-    """pallas_call scaffolding for the two-logit (student, teacher) kernels:
-    both W-interped to [n, h, c_pad, W] with the teacher NEG-padded to the
-    STUDENT's channel tile so all per-pixel math is elementwise."""
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n, h, _, _ = sem_new.shape
-    H, W = kh.shape[0], kw.shape[0]
-    z_new = _w_interp(sem_new, kw)
-    c_pad = z_new.shape[2]
-    z_old = _w_interp(sem_old, kw)
-    if z_old.shape[2] < c_pad:
-        z_old = jnp.pad(
-            z_old, ((0, 0), (0, 0), (0, c_pad - z_old.shape[2]), (0, 0)),
-            constant_values=NEG,
-        )
-    starts, kh_blocks = _block_kh(kh, ROW_BLOCK)
-    hb = kh_blocks.shape[2]
-    z_spec = pl.BlockSpec((1, h, c_pad, W), lambda i, j: (i, 0, 0, 0),
-                          memory_space=pltpu.VMEM)
-    args = (starts, z_new, z_old, kh_blocks)
-    specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        z_spec,
-        z_spec,
-        pl.BlockSpec((1, ROW_BLOCK, hb), lambda i, j: (j, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    dims = dict(n=n, h=h, H=H, W=W, c_pad=c_pad, hb=hb,
-                grid=(n, H // ROW_BLOCK))
-    return args, specs, dims
-
-
-def _ukd_fwd_kernel(starts_ref, zn_ref, zo_ref, kh_ref, out_ref, *, hb,
-                    c_old, alpha):
-    import jax.experimental.pallas as pl
-
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _init():
-        out_ref[...] = jnp.zeros_like(out_ref)
-
-    start = starts_ref[j]
-    ky = kh_ref[0]
-    tn = jnp.einsum("Rh,hcW->RcW", ky, zn_ref[0, pl.ds(start, hb)],
-                    preferred_element_type=jnp.float32)
-    to = jnp.einsum("Rh,hcW->RcW", ky, zo_ref[0, pl.ds(start, hb)],
-                    preferred_element_type=jnp.float32)
-    t, _ = _ukd_terms(tn, to, c_old, alpha)
-    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    out_ref[0] += jnp.where((row == 0) & (col == 0), jnp.sum(t), 0.0)
-
-
-def _ukd_bwd_kernel(starts_ref, zn_ref, zo_ref, kh_ref, g_ref, dz_ref, *, hb,
-                    c_old, alpha):
-    import jax.experimental.pallas as pl
-
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _init():
-        dz_ref[...] = jnp.zeros_like(dz_ref)
-
-    start = starts_ref[j]
-    ky = kh_ref[0]
-    tn = jnp.einsum("Rh,hcW->RcW", ky, zn_ref[0, pl.ds(start, hb)],
-                    preferred_element_type=jnp.float32)
-    to = jnp.einsum("Rh,hcW->RcW", ky, zo_ref[0, pl.ds(start, hb)],
-                    preferred_element_type=jnp.float32)
-    _, grad = _ukd_terms(tn, to, c_old, alpha)
-    g = g_ref[0, 0]
-    upd = jnp.einsum(
-        "Rh,RcW->hcW", ky, grad * g, preferred_element_type=jnp.float32
-    )
-    dz_ref[0, pl.ds(start, hb)] += upd
-
-
 def _ukd_pallas(sem_new, sem_old, kh, kw, alpha, want_grad, g=None):
-    import jax.experimental.pallas as pl
+    prep = _prep_call_pair(sem_new, sem_old, kh, kw)
+    c_old = sem_old.shape[-1]
 
-    lead, specs, dims = _prep_call_pair(sem_new, sem_old, kh, kw)
-    statics = dict(hb=dims["hb"], c_old=sem_old.shape[-1], alpha=alpha)
+    def sums(tn, to):
+        t, _ = _ukd_terms(tn, to, c_old, alpha)
+        return (jnp.sum(t),)
+
+    def grad(tn, to, g_s):
+        _, gmap = _ukd_terms(tn, to, c_old, alpha)
+        return gmap * g_s
+
     if not want_grad:
-        out_shape, out_spec = _sum_out_spec(dims)
-        out = pl.pallas_call(
-            partial(_ukd_fwd_kernel, **statics),
-            out_shape=out_shape,
-            grid=dims["grid"],
-            in_specs=specs,
-            out_specs=out_spec,
-            compiler_params=tpu_compiler_params(),
-        )(*lead)
+        out = call_sums(make_pair_sums_kernel(sums), prep)
         return jnp.sum(out[:, 0, 0])
-    out_shape, out_spec = _dz_out_spec(dims)
-    dz = pl.pallas_call(
-        partial(_ukd_bwd_kernel, **statics),
-        out_shape=out_shape,
-        grid=dims["grid"],
-        in_specs=specs + [_g_spec()],
-        out_specs=out_spec,
-        compiler_params=tpu_compiler_params(),
-    )(*lead, g.reshape(1, 1))
-    dsem = jnp.einsum("Ww,nhcW->nhwc", jnp.asarray(kw),
-                      dz[:, :, : sem_new.shape[-1], :])
-    return dsem.astype(sem_new.dtype)
+    return call_dz(make_pair_dz_kernel(grad), prep, kw, sem_new, g)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -1300,47 +784,11 @@ def _ce_sums_per_image_jnp(sem, labels, kh, kw, ignore_index):
     return loss, jnp.sum(mask, axis=(1, 2)).astype(jnp.float32)
 
 
-def _gvec_spec():
-    """Per-image cotangent: the UNBLOCKED [N, 1] SMEM vector (the bwd
-    kernel indexes it by the image grid dim when per_image_g=True)."""
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    return pl.BlockSpec(memory_space=pltpu.SMEM)
-
-
 def _ce_sums_per_image_pallas(sem, labels, kh, kw):
-    import jax.experimental.pallas as pl
-
-    lead, specs, dims = _prep_call(sem, labels, kh, kw)
-    out_shape, out_spec = _sum_out_spec(dims)
-    out = pl.pallas_call(
-        partial(_fwd_kernel, hb=dims["hb"]),
-        out_shape=out_shape,
-        grid=dims["grid"],
-        in_specs=specs,
-        out_specs=out_spec,
-        compiler_params=tpu_compiler_params(),
-    )(*lead)
+    out = call_sums(
+        make_sums_kernel(_ce_tile_sums), _prep_call(sem, labels, kh, kw)
+    )
     return out[:, 0, 0], out[:, 0, 1]
-
-
-def _dsem_pallas_gvec(sem, labels, kh, kw, gvec):
-    import jax.experimental.pallas as pl
-
-    lead, specs, dims = _prep_call(sem, labels, kh, kw)
-    out_shape, out_spec = _dz_out_spec(dims)
-    dz = pl.pallas_call(
-        partial(_bwd_kernel, hb=dims["hb"], per_image_g=True),
-        out_shape=out_shape,
-        grid=dims["grid"],
-        in_specs=specs + [_gvec_spec()],
-        out_specs=out_spec,
-        compiler_params=tpu_compiler_params(),
-    )(*lead, gvec.reshape(-1, 1))
-    dsem = jnp.einsum("Ww,nhcW->nhwc", jnp.asarray(kw),
-                      dz[:, :, : sem.shape[-1], :])
-    return dsem.astype(sem.dtype)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -1369,8 +817,8 @@ def _ucespi_bwd(out_hw, ignore_index, interp, res, g):
     sem, labels = res
     kh, kw = _kmats(sem, out_hw, interp)
     if _use_pallas(sem, out_hw) and ignore_index == 255:
-        dsem = _dsem_pallas_gvec(sem, labels, kh, kw,
-                                 gvec.astype(jnp.float32))
+        dsem = _dsem_pallas(sem, labels, kh, kw, gvec.astype(jnp.float32),
+                            per_image=True)
         return dsem, None
     up = _upsample_jnp(sem, kh, kw)
     mask = labels != ignore_index
@@ -1407,7 +855,12 @@ def _plop_pseudo_jnp(sem_old, labels, thresholds, kh, kw, max_entropy,
 
 def _pseudo_kernel(starts_ref, z_ref, labels_ref, kh_ref, thr_ref, me_ref,
                    lab_ref, sums_ref, *, hb, c_old):
+    """Custom two-output kernel (int32 label map + per-image counts) — the
+    one variant outside the sums/dz factories, built from the same tile
+    helpers."""
     import jax.experimental.pallas as pl
+
+    from bacs_tpu.ops.upsample_tiles import accum_scalars, read_tile
 
     j = pl.program_id(1)
 
@@ -1415,10 +868,7 @@ def _pseudo_kernel(starts_ref, z_ref, labels_ref, kh_ref, thr_ref, me_ref,
     def _init():
         sums_ref[...] = jnp.zeros_like(sums_ref)
 
-    start = starts_ref[j]
-    zs = z_ref[0, pl.ds(start, hb)]
-    ky = kh_ref[0]
-    tile = jnp.einsum("Rh,hcW->RcW", ky, zs, preferred_element_type=jnp.float32)
+    _, _, tile = read_tile(starts_ref, z_ref, kh_ref, hb)
     labels = labels_ref[0]  # [R, W] int32
     c_pad = tile.shape[1]
 
@@ -1448,32 +898,30 @@ def _pseudo_kernel(starts_ref, z_ref, labels_ref, kh_ref, thr_ref, me_ref,
 
     num = jnp.sum((valid & mask_bg).astype(jnp.float32))
     den = jnp.sum(mask_bg.astype(jnp.float32))
-    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    sums_ref[0] += jnp.where((row == 0) & (col == 0), num, 0.0) + jnp.where(
-        (row == 0) & (col == 1), den, 0.0
-    )
+    accum_scalars(sums_ref, num, den)
 
 
 def _pseudo_pallas(sem_old, labels, thresholds, kh, kw, max_entropy):
     import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+
+    from bacs_tpu.ops.pallas_params import tpu_compiler_params
+    from bacs_tpu.ops.upsample_tiles import (
+        g_spec,
+        labels_out_spec,
+        sum_out_spec,
+    )
 
     c_old = sem_old.shape[-1]
     lead, specs, dims = _prep_call(sem_old, labels, kh, kw)
     thr = _pad_w(thresholds[:c_old], dims["c_pad"])
     me = jnp.asarray(max_entropy, jnp.float32).reshape(1, 1)
-    sums_shape, sums_spec = _sum_out_spec(dims)
-    lab_shape = jax.ShapeDtypeStruct(
-        (dims["n"], dims["H"], dims["W"]), jnp.int32
-    )
-    lab_spec = pl.BlockSpec((1, ROW_BLOCK, dims["W"]), lambda i, j: (i, j, 0),
-                            memory_space=pltpu.VMEM)
+    sums_shape, sums_spec = sum_out_spec(dims)
+    lab_shape, lab_spec = labels_out_spec(dims)
     new_labels, sums = pl.pallas_call(
         partial(_pseudo_kernel, hb=dims["hb"], c_old=c_old),
         out_shape=(lab_shape, sums_shape),
         grid=dims["grid"],
-        in_specs=specs + [_wvec_spec(dims), _g_spec()],
+        in_specs=specs + [_wvec_spec(dims), g_spec()],
         out_specs=(lab_spec, sums_spec),
         compiler_params=tpu_compiler_params(),
     )(*lead, thr, me)

@@ -76,6 +76,18 @@ PROTOCOLS = {
         net="deeplab", backbone="resnet50", style="rich", cache="device",
         default_methods=("ce", "mib", "bacs"),
     ),
+    # ADE20K 100-50 composition shape (BASELINE.json config #5;
+    # reference: conf/experiments/dataset/ade.yaml 151 classes): two tasks
+    # at ADE's class count exercising the padded-class-width machinery —
+    # buffer logits at 151 channels, prototypes, detector heads.  Synthetic
+    # rich source at debug scale; the point is the 151-wide composition
+    # running end-to-end on-chip, not benchmark accuracy.
+    "ade-100-50": dict(
+        n_classes=151, initial=100, increment=50, crop=64, epochs=6,
+        n_train=256, n_val=64, layers=4, lr=0.05, lr_next=0.01,
+        buffer=64, batch=8, replay=8, style="rich", cache="device",
+        default_methods=("bacs",),
+    ),
 }
 
 
@@ -138,6 +150,10 @@ def run_method(protocol: dict, method: str, seed: int,
         method=method,
         final_miou=round(float(final), 3),
         oldest_task_miou=round(oldest_end, 3),
+        # task-0 test mIoU right after training task 0 (the learnability
+        # floor the flagship ordering test checks)
+        task0_miou=round(float(rows[0][0]), 3) if rows and rows[0]
+        else float("nan"),
         avg_iou_per_dataset=avg_iou,
         seconds=round(time.time() - t0, 1),
     )
