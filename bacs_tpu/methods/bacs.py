@@ -24,6 +24,7 @@ become two independent in-graph samples per step — no host round-trip.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -455,7 +456,9 @@ class BACSMethod(ExperienceReplayMethod):
         if state.buffer is None or not (self.alpha > 0 or self.beta > 0):
             return state
 
-        @jax.jit
+        # donated: the buffer scatter must be in-place at production buffer
+        # sizes (see er.py populate)
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def populate(state, rng, image, labels):
             r1, r2, r_buf = jax.random.split(rng, 3)
             out, new_bs = ctx.forward(

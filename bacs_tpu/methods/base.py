@@ -13,6 +13,7 @@ jitted passes over loaders at task boundaries.
 
 from __future__ import annotations
 
+import functools
 import dataclasses
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -567,7 +568,9 @@ class Method:
         if (active > 0).all():
             return state
 
-        @jax.jit
+        # donated: avoids copying the full state (params + any buffer)
+        # back out once per sweep batch
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def sweep_batch(state, image, labels):
             out, _ = ctx.forward(state.params, state.batch_stats, image, False)
             protos, counts = update_task_prototypes(

@@ -16,6 +16,7 @@ a same-task buffer occupies slots [p·size, (p+1)·size).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -39,6 +40,7 @@ class ExperienceReplayMethod(Method):
         bg_weighted_ce: bool = False,
         same_task: bool = True,
         buffer_dtype: str = "bfloat16",
+        buffer_image_dtype: str | None = None,
         **kwargs,
     ):
         super().__init__(name=name, **kwargs)
@@ -52,7 +54,14 @@ class ExperienceReplayMethod(Method):
         # buffer.py:23-29 — an HBM-resident buffer makes the trade
         # explicit); "float32" restores bit-exact replay targets
         # (tests/test_boundary_parity.py pins semantics at f32).
+        # `buffer_image_dtype=uint8` stores images as raw pixels —
+        # LOSSLESS for canonical buffer images (they originate as uint8;
+        # buffer_lib._encode_image) and half of bf16's bytes; logits keep
+        # `buffer_dtype` (real-valued DER targets).
         self.buffer_dtype = jnp.dtype(buffer_dtype)
+        self.buffer_image_dtype = jnp.dtype(
+            buffer_image_dtype if buffer_image_dtype else buffer_dtype
+        )
 
     # ------------------------------------------------------------------
 
@@ -64,7 +73,8 @@ class ExperienceReplayMethod(Method):
         )
         return buffer_lib.init_buffer(
             n_slots, image_hw, logit_hw, task.num_classes,
-            image_dtype=self.buffer_dtype, logit_dtype=self.buffer_dtype,
+            image_dtype=self.buffer_image_dtype,
+            logit_dtype=self.buffer_dtype,
         )
 
     def _partition(self, task_id: int) -> Optional[Tuple[int, int]]:
@@ -185,7 +195,10 @@ class ExperienceReplayMethod(Method):
             return super().end_task(state, ctx, data)
         part = self._partition(task.task_id)
 
-        @jax.jit
+        # donate state: without it every population batch round-trips the
+        # full buffer (and params) through HBM — ~0.8 GB/batch at
+        # buffer 300 × 512² (the scatter is in-place only under donation)
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def populate(state, rng, image, labels):
             out, _ = ctx.forward(state.params, state.batch_stats, image, False)
             logits = out.logits[..., : ctx.n_cur]

@@ -28,7 +28,8 @@ enable_compilation_cache()
 
 
 def main(smoke: bool = False, bg_weighted: bool = True, replay: bool = True,
-         merged: bool = False, remat: bool = False):
+         merged: bool = False, remat: bool = False, buffer_size: int = 50,
+         replay_batch: int = 8, image_uint8: bool = False):
     from bacs_tpu.methods import create_method
     from bacs_tpu.methods.base import ModelContext
     from bacs_tpu.models import create_network
@@ -56,8 +57,12 @@ def main(smoke: bool = False, bg_weighted: bool = True, replay: bool = True,
     a = 0.5 if replay else 0.0
     method = create_method(
         "loss.BACSLoss", use_bg_detector=True, bg_weighted_ce=bg_weighted,
-        buffer_size=50, replay_minibatch_size=8, alpha=a, beta=a,
+        buffer_size=buffer_size, replay_minibatch_size=replay_batch,
+        alpha=a, beta=a,
         merged_replay=merged,  # --merged: single-forward replay experiment
+        # --image-uint8: lossless raw-pixel image storage (half of bf16's
+        # image bytes; the production capacity option, docs/PARITY.md)
+        buffer_image_dtype="uint8" if image_uint8 else None,
     )
     tx = make_optimizer(
         {"_target_": "torch.optim.SGD", "lr": 0.01, "momentum": 0.9,
@@ -76,13 +81,43 @@ def main(smoke: bool = False, bg_weighted: bool = True, replay: bool = True,
         x[:1], train=False,
     )
     buf = method.init_buffer(task, (crop, crop), out.sem_logits.shape[1:3])
-    buf = buffer_lib.add_batch(
-        buf, jax.random.PRNGKey(2),
-        jnp.asarray(rng.rand(8, crop, crop, 3).astype(np.float32)),
-        jnp.zeros((8,) + tuple(out.sem_logits.shape[1:3]) + (n_classes,)),
-        jnp.asarray(rng.randint(0, 16, (8, crop, crop)).astype(np.int32)),
-        jnp.zeros((8,)), task_id=0, n_classes=16,
-    )
+    # fill the buffer PAST capacity so replay samples real slots and the
+    # eviction scan (score softmax over every slot) runs at full width —
+    # the production-scale question (VERDICT r3 weak #5: buffer 300)
+    n_slots = buf.images.shape[0]
+    fill_chunk = 8
+
+    # jit + donate, exactly like the train path (end_task populate donates
+    # state): the slot scatter is then in-place — an eager add_batch would
+    # copy the whole multi-hundred-MB buffer per call and report that copy
+    # as "eviction cost"
+    def _add(buf, sub, imgs, lg, lb):
+        return buffer_lib.add_batch(
+            buf, sub, imgs, lg, lb, jnp.zeros((fill_chunk,)),
+            task_id=0, n_classes=16,
+        )
+
+    _add_donated = jax.jit(_add, donate_argnums=(0,))
+    key = jax.random.PRNGKey(2)
+    add_times = []
+    for it in range((n_slots // fill_chunk) + 2):
+        key, sub = jax.random.split(key)
+        imgs = jnp.asarray(
+            rng.rand(fill_chunk, crop, crop, 3).astype(np.float32)
+        )
+        lg = jnp.zeros(
+            (fill_chunk,) + tuple(out.sem_logits.shape[1:3]) + (n_classes,)
+        )
+        lb = jnp.asarray(
+            rng.randint(0, 16, (fill_chunk, crop, crop)).astype(np.int32)
+        )
+        float(jnp.sum(imgs[0, 0]))  # sync uploads outside the timed region
+        t0 = time.perf_counter()
+        buf = _add_donated(buf, sub, imgs, lg, lb)
+        float(buf.num_seen)  # sync through the tunnel
+        add_times.append(time.perf_counter() - t0)
+    # steady-state eviction-scan cost = the last adds (buffer at capacity)
+    evict_ms = float(np.median(add_times[-3:]) * 1e3)
     pen_dim = out.penultimate.shape[-1]
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -112,14 +147,31 @@ def main(smoke: bool = False, bg_weighted: bool = True, replay: bool = True,
         state, metrics = train_step(state, batch_dict)
     float(metrics["loss"])
     dt = (time.perf_counter() - t0) / reps
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        hbm_gb = round(ms.get("peak_bytes_in_use", 0) / 2**30, 2)
+        hbm_limit = round(ms.get("bytes_limit", 0) / 2**30, 2)
+    except Exception:
+        hbm_gb = hbm_limit = 0.0
     print(json.dumps({
         "metric": f"bacs_step_{backbone}_{crop}_b{batch}"
                   f"_w{int(bg_weighted)}_r{int(replay)}"
+                  f"_buf{n_slots}_rb{replay_batch}"
+                  + ("_u8" if image_uint8 else "")
                   + ("_merged" if merged else "")
                   + ("_remat" if remat else ""),
         "step_ms": round(dt * 1e3, 1),
         "images_per_sec": round(batch / dt, 1),
+        "evict_add_ms": round(evict_ms, 1),
+        "hbm_peak_gb": hbm_gb,
+        "hbm_limit_gb": hbm_limit,
     }))
+
+
+def _flag(name: str, default: int) -> int:
+    if name in sys.argv:
+        return int(sys.argv[sys.argv.index(name) + 1])
+    return default
 
 
 if __name__ == "__main__":
@@ -129,4 +181,9 @@ if __name__ == "__main__":
         replay="--no-replay" not in sys.argv,
         merged="--merged" in sys.argv,
         remat="--remat" in sys.argv,
+        # production scale: --buffer 300 --replay-batch 12
+        # (conf/experiments/loss/bacs_plus.yaml)
+        buffer_size=_flag("--buffer", 50),
+        replay_batch=_flag("--replay-batch", 8),
+        image_uint8="--image-uint8" in sys.argv,
     )

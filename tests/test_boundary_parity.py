@@ -368,7 +368,12 @@ def boundary_pair(tmp_path_factory):
             }
             for b in range(POP_NB)
         ]
-        state_after = method.end_task(state, ctx0, data)
+        # end_task's jitted populate passes DONATE state (the buffer
+        # scatter is in-place in production) — hand it a copy so the
+        # pre-boundary arrays kept in this namespace stay alive
+        state_after = method.end_task(
+            jax.tree.map(jnp.copy, state), ctx0, data
+        )
 
         return SimpleNamespace(
             networks=networks, L=L, ref=ref, ref_t=ref_t, bacs=bacs,
@@ -760,7 +765,10 @@ def test_detector_double_drift_stats_parity(tmp_path):
             }
             for b in range(POP_NB)
         ]
-        state_after = method.end_task(state, ctx0, data)
+        # copy: end_task donates its state (see boundary_pair fixture)
+        state_after = method.end_task(
+            jax.tree.map(jnp.copy, state), ctx0, data
+        )
 
         # ---- drifted stats trees must match, trunk included ----
         _, s_post = convert_reference_deeplab(

@@ -66,6 +66,37 @@ def test_task_filtered_sampling():
     assert np.all(np.asarray(buf.task_ids)[idx] == 1)
 
 
+def test_uint8_image_storage_lossless_roundtrip():
+    # uint8 storage is exactly lossless for canonical buffer images: they
+    # originate as uint8 pixels, and normalize→denormalize is an exact
+    # affine round-trip on that grid (buffer._encode_image/_decode_image)
+    from bacs_tpu.data.transforms import normalize_image
+
+    rng = np.random.RandomState(7)
+    raw = rng.randint(0, 256, (3, 4, 4, 3)).astype(np.uint8)
+    imgs = normalize_image(jnp.asarray(raw))  # what the loader feeds
+    buf = B.init_buffer(8, (4, 4), (2, 2), 5, image_dtype=jnp.uint8)
+    assert buf.images.dtype == jnp.uint8
+    labels = jnp.asarray(rng.randint(0, 3, (3, 4, 4)).astype(np.int32))
+    labels = labels.at[0, 0, 0].set(255)  # ignore label survives uint8
+    buf = B.add_batch(
+        buf, jax.random.PRNGKey(0), imgs, jnp.zeros((3, 2, 2, 5)), labels,
+        jnp.zeros((3,)), 0, 3,
+    )
+    np.testing.assert_array_equal(np.asarray(buf.images[:3]), raw)
+    out = B.sample(buf, jax.random.PRNGKey(1), 3)
+    order = np.argsort(np.asarray(out["indices"]))
+    # decode reproduces the normalized floats BIT-EXACTLY (f32 out)
+    assert out["images"].dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(out["images"])[order], np.asarray(imgs)
+    )
+    assert out["labels"].dtype == jnp.int32
+    got_labels = np.asarray(out["labels"])[order]
+    np.testing.assert_array_equal(got_labels, np.asarray(labels))
+    assert got_labels[0, 0, 0] == 255
+
+
 def test_class_counts_track_label_presence():
     # items added in the SAME batch share the batch-wide unique-label set
     # (reference quirk: buffer.py:240-252 reads the whole batch tensor inside

@@ -157,7 +157,11 @@ def test_disk_commit_flushes_pixels_before_valid_flags(voc_root, tmp_path,
     orig_flush = np.memmap.flush
 
     def spy(self):
-        valid_at_flush.append(np.array(cached._valid))
+        # scope to THIS cache's pixel memmaps: an incidental flush from any
+        # other memmap (second cache init, finalizer) must not skew the
+        # exactly-2-per-commit count below
+        if self is cached._imgs or self is cached._lbls:
+            valid_at_flush.append(np.array(cached._valid))
         return orig_flush(self)
 
     monkeypatch.setattr(np.memmap, "flush", spy)
