@@ -80,6 +80,7 @@ class BACSMethod(ExperienceReplayMethod):
         mixup_threshold: int = 10,
         transplant_mode: str = "reference",
         merged_replay: bool = False,
+        boundary_train_mode: bool = True,
         **kwargs,
     ):
         if transplant_mode not in ("reference", "per_sample"):
@@ -111,6 +112,17 @@ class BACSMethod(ExperienceReplayMethod):
         self.mixup_threshold = mixup_threshold
         self.transplant_mode = transplant_mode
         self.merged_replay = merged_replay
+        # True (default) = reference parity: the buffer-population pass runs
+        # the model in TRAIN mode, so BN running stats DRIFT at every task
+        # boundary (doubled along the penultimate path by the detector
+        # probe, bacs_loss.py:191).  At small batch/crop the drift is
+        # measurably harmful — ADE-width 100-50 at batch 8 × 64²: final
+        # test mIoU 0.086 vs 0.234 prev-val right before the boundary
+        # (docs/RESULTS.md round 4).  `boundary_train_mode=false` opts into
+        # eval-mode population: no stat drift; stored logits/importance use
+        # running stats instead of batch stats (same shapes and ordering
+        # rules, slightly different values — a deliberate divergence).
+        self.boundary_train_mode = boundary_train_mode
 
     # ------------------------------------------------------------------
 
@@ -458,11 +470,13 @@ class BACSMethod(ExperienceReplayMethod):
 
         # donated: the buffer scatter must be in-place at production buffer
         # sizes (see er.py populate)
+        train_mode = self.boundary_train_mode
+
         @functools.partial(jax.jit, donate_argnums=(0,))
         def populate(state, rng, image, labels):
             r1, r2, r_buf = jax.random.split(rng, 3)
             out, new_bs = ctx.forward(
-                state.params, state.batch_stats, image, True, r1
+                state.params, state.batch_stats, image, train_mode, r1
             )
             logits = out.logits[..., : ctx.n_cur]
             w = jnp.ones((ctx.n_cur,), jnp.float32).at[0].set(0.0)
@@ -474,7 +488,7 @@ class BACSMethod(ExperienceReplayMethod):
             sem = out.sem_logits[..., : ctx.n_cur]
             pad = task.num_classes - ctx.n_cur
             sem = jnp.pad(sem, ((0, 0), (0, 0), (0, 0), (0, pad)))
-            if self.use_bg_detector:
+            if self.use_bg_detector and train_mode:
                 # the reference's seen-detector probe is a SECOND train-mode
                 # pass through the model's penultimate path per batch
                 # (_get_seen_detector → get_penultimate_output,

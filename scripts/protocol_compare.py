@@ -107,7 +107,7 @@ PROTOCOLS = {
 
 def run_method(protocol: dict, method: str, seed: int,
                network: str = "unet", backbone: str = "resnet50",
-               crop: int = 0):
+               crop: int = 0, extra_overrides: tuple = ()):
     from bacs_tpu.config import load_config
     from bacs_tpu.train.loop import Trainer
 
@@ -148,13 +148,14 @@ def run_method(protocol: dict, method: str, seed: int,
             "loss.beta=0.5",
         ]
         if plus:  # reference: conf/experiments/loss/bacs_plus.yaml
-            overrides.append("loss.bg_weighted_ce=true")
+            overrides.append("+loss.bg_weighted_ce=true")
         if p.get("replay"):
             overrides.append(f"loss.replay_minibatch_size={p['replay']}")
     elif method == "er":
         overrides += [f"loss.buffer_size={p['buffer']}"]
         if p.get("replay"):
             overrides.append(f"loss.replay_minibatch_size={p['replay']}")
+    overrides += list(extra_overrides)
     config = load_config("conf/continual_debug", "config", overrides)
     t0 = time.time()
     trainer = Trainer(config)
@@ -191,6 +192,9 @@ def main():
                     help="override the protocol's epochs/task")
     ap.add_argument("--crop", type=int, default=0,
                     help="override the protocol's crop (deeplab needs /16)")
+    ap.add_argument("--override", action="append", default=[],
+                    help="extra hydra-style override(s) appended to every "
+                         "leg, e.g. --override +loss.boundary_train_mode=false")
     args = ap.parse_args()
 
     from bacs_tpu.utils.cache import enable_compilation_cache
@@ -207,7 +211,8 @@ def main():
     results = []
     for m in methods:
         r = run_method(p, m, args.seed, network=network,
-                       backbone=backbone, crop=args.crop)
+                       backbone=backbone, crop=args.crop,
+                       extra_overrides=tuple(args.override))
         results.append(r)
         print(json.dumps(r))
 

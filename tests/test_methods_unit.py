@@ -237,3 +237,77 @@ def test_penultimate_stats_keys_present_in_batch_stats():
         assert not missing, (
             f"{name}: {missing} not in batch_stats {sorted(bs)}"
         )
+
+
+def test_boundary_train_mode_controls_population_bn_drift():
+    """Parity default: the buffer-population pass drifts BN running stats
+    (train-mode forwards + detector double pass, bacs_loss.py:133-203);
+    `boundary_train_mode=False` opts out — end_task must then leave
+    batch_stats bit-identical while still filling the buffer.  (The drift
+    is measurably harmful at small batch/crop: docs/RESULTS.md round-4
+    ADE table.)"""
+    from bacs_tpu.methods import create_method
+    from bacs_tpu.methods.base import ModelContext
+    from bacs_tpu.models import create_network
+    from bacs_tpu.train.state import TaskInfo, TrainState
+
+    crop, n_classes = 16, 4
+    net = create_network(
+        "unet", num_classes=n_classes, norm="abn", axis_name=None,
+        num_layers=2, crop_size=crop, use_bg_detector=True, n_tasks=2,
+    )
+    task = TaskInfo(
+        task_id=0, initial_classes=3, increment=1, num_classes=n_classes,
+        n_tasks=2, max_epochs=2,
+    )
+    ctx = ModelContext(model=net, task=task, axis_name=None, fused_ce=False)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, crop, crop, 3).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 3, (2, crop, crop)).astype(np.int32))
+    variables = net.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x[:1], train=True,
+    )
+    out = net.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        x[:1], train=False,
+    )
+
+    def run(**kw):
+        method = create_method(
+            "loss.BACSLoss", use_bg_detector=True, alpha=0.5, beta=0.5,
+            buffer_size=4, replay_minibatch_size=2, **kw,
+        )
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            # copies: end_task donates its state (populate is in-place)
+            params=jax.tree.map(jnp.copy, variables["params"]),
+            batch_stats=jax.tree.map(jnp.copy, variables["batch_stats"]),
+            opt_state=None,
+            rng=jax.random.PRNGKey(3),
+            prototypes=jnp.zeros((2, out.penultimate.shape[-1])),
+            proto_counts=jnp.zeros((2,)),
+            buffer=method.init_buffer(
+                task, (crop, crop), out.sem_logits.shape[1:3]
+            ),
+        )
+        return method.end_task(state, ctx, [{"image": x, "label": y}])
+
+    before = jax.tree.map(np.asarray, variables["batch_stats"])
+
+    drifted = run()  # parity default: train-mode population
+    after = jax.tree.map(np.asarray, drifted.batch_stats)
+    flat_a = jax.tree_util.tree_leaves(after)
+    flat_b = jax.tree_util.tree_leaves(before)
+    moved = [i for i, (a, b) in enumerate(zip(flat_a, flat_b))
+             if not np.array_equal(a, b)]
+    assert moved, "train-mode population must drift some BN running stat"
+    assert bool(drifted.buffer.valid.sum()) > 0
+
+    frozen = run(boundary_train_mode=False)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        frozen.batch_stats, before,
+    )
+    assert int(frozen.buffer.valid.sum()) == 2  # buffer still populated
