@@ -129,3 +129,42 @@ def test_class_counts_track_label_presence():
         losses[:1], 0, 3,
     )
     assert np.asarray(buf3.class_counts)[-1] == 1
+
+
+def test_production_buffer_footprint_fits_v5e():
+    """Capacity assertion for the production BACS buffer (VERDICT r3 #3).
+
+    conf/experiments/loss/bacs_plus.yaml ships buffer 300 / replay 12 at
+    crop 512 (reference: conf/experiments/loss/bacs_plus.yaml:1-15).  The
+    HBM-resident buffer at that scale — uint8 image storage (the measured
+    production option, docs/RESULTS.md round-4 capacity table), bf16
+    logits at DeepLab os16's 32x32 pre-upsample grid, uint8 labels — must
+    stay a small fraction of the v5e's 15.75 GB so the step's activations
+    (the real capacity constraint; non-remat OOMs by ~0.3-0.5 GB) own the
+    headroom.  eval_shape keeps this allocation-free.
+    """
+    crop, n_classes, size = 512, 21, 300
+
+    def build(dtype):
+        return jax.eval_shape(
+            lambda: B.init_buffer(
+                size, (crop, crop), (crop // 16, crop // 16), n_classes,
+                image_dtype=dtype,
+            )
+        )
+
+    def total_mb(buf):
+        return sum(
+            np.prod(f.shape) * f.dtype.itemsize
+            for f in jax.tree.leaves(buf)
+        ) / 2**20
+
+    u8 = total_mb(build(jnp.uint8))
+    bf16 = total_mb(build(jnp.bfloat16))
+    # documented round-4 numbers: ~328 MB uint8 / ~564 MB bf16 images
+    assert 300 < u8 < 360, u8
+    assert 530 < bf16 < 600, bf16
+    # uint8 halves the image field (236 MB of the delta)
+    assert bf16 - u8 > 200
+    # the whole buffer is <2.2% of the chip (u8): activations own the HBM
+    assert u8 / (15.75 * 1024) < 0.022
