@@ -412,6 +412,24 @@ class DataModule:
         return list(range(up_to_task + 1))
 
 
+def _host_cores() -> int:
+    import os
+
+    try:
+        return len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        import multiprocessing
+
+        return multiprocessing.cpu_count()
+
+
+def _resolve_workers(value) -> int:
+    """Reference num_workers grammar (base_datamodule.py:45-54)."""
+    if str(value).lower() == "auto":
+        return _host_cores()
+    return min(int(value or 0), _host_cores())
+
+
 def create_datamodule(config) -> DataModule:
     """Build a DataModule from a reference-style config tree
     (reference `_target_` strings: dataloaders.VocDataModule etc.)."""
@@ -426,10 +444,13 @@ def create_datamodule(config) -> DataModule:
         num_classes=num_classes,
         crop_size=crop,
         batch_size=int(tcfg.get("batch_size", 8)),
-        # reference num_workers semantics (base_datamodule.py:45-54);
-        # `input_workers` wins if both are set
-        input_workers=int(
-            tcfg.get("input_workers", tcfg.get("num_workers", 0)) or 0
+        # reference num_workers semantics (base_datamodule.py:45-54):
+        # "auto" = host-core count; `input_workers` wins if both are set.
+        # Explicit counts are additionally clamped to the host's cores —
+        # decode workers are CPU-bound, so extra processes only add
+        # spawn/IPC cost (the reference's 2-GPU SLURM hosts had >=12).
+        input_workers=_resolve_workers(
+            tcfg.get("input_workers", tcfg.get("num_workers", 0))
         ),
         initial_increment=int(tcfg.get("initial_increment", 0) or 0),
         increment=int(tcfg.get("increment", 0) or 0),

@@ -62,7 +62,7 @@ for mode in "${MODES[@]}"; do
         [[ -n "$BACKBONE_WEIGHTS" ]] && overrides+=(
             "+network.backbone_weights_path=${BACKBONE_WEIGHTS}")
         [[ -n "$N_DEVICES" ]] && overrides+=(
-            "training.n_devices=${N_DEVICES}")
+            "+training.n_devices=${N_DEVICES}")
         run_one "$exp_name" "${overrides[@]}"
     done
 done

@@ -217,7 +217,7 @@ def train_command(root: str, ckpt: str | None, smoke: bool) -> list:
         "--config-path", "conf/bacs", "--config-name", "bacs_plus_config",
         f"dataset.dataset.root={root}",
         "training.mode=overlap",
-        "training.n_devices=1",
+        "+training.n_devices=1",
     ]
     if ckpt:
         cmd.append(f"+network.backbone_weights_path={ckpt}")

@@ -49,7 +49,7 @@ def test_conf_experiments_joint_runs_on_ade_layout(ade_root, tmp_path):
             "training.batch_size=4",
             "training.epochs=1",
             "training.mixed_precision=false",
-            "training.n_devices=1",
+            "+training.n_devices=1",
             "network.backbone=resnet18",
             f"training.ckpt_dir={tmp_path}/ckpt",
         ],

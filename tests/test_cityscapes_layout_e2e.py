@@ -56,7 +56,7 @@ def test_conf_experiments_joint_runs_on_cityscapes_layout(cs_root, tmp_path):
             "training.batch_size=4",
             "training.epochs=4",
             "training.mixed_precision=false",
-            "training.n_devices=1",
+            "+training.n_devices=1",
             "network.backbone=resnet18",
             f"training.ckpt_dir={tmp_path}/ckpt",
         ],
@@ -82,7 +82,7 @@ def test_domain_shift_cities_become_tasks(cs_root, tmp_path):
             "training.batch_size=4",
             "training.epochs=1",
             "training.mixed_precision=false",
-            "training.n_devices=1",
+            "+training.n_devices=1",
             "network.backbone=resnet18",
             f"training.ckpt_dir={tmp_path}/ckpt2",
         ],

@@ -40,7 +40,7 @@ def _common_overrides(voc_root, tmp_path, epochs=1):
         "training.batch_size=4",
         f"training.epochs={epochs}",
         "training.mixed_precision=false",
-        "training.n_devices=1",
+        "+training.n_devices=1",
         "network.backbone=resnet18",
         f"training.ckpt_dir={tmp_path}/ckpt",
     ]
