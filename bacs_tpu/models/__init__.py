@@ -44,6 +44,16 @@ def create_network(
     atrous = bool(kwargs.get("atrous_encoder"))
     fused_abn = bool(kwargs.get("fused_abn", True))
     fused_stem = bool(kwargs.get("fused_stem", False))
+    # network.remat: false | true (all stages) | [stage ids] (selective,
+    # e.g. [3] remats only resnet101's 23-block stage — most of the saved
+    # activations at a fraction of full remat's recompute). Normalized to a
+    # hashable tuple so the module stays usable as a jit cache key.
+    remat = kwargs.get("remat", False)
+    remat = (
+        tuple(int(s) for s in remat)
+        if isinstance(remat, (list, tuple))
+        else bool(remat)
+    )
     if atrous:
         # SDR atrous encoder: SynchronizedBatchNorm2d(momentum 3e-4) on the
         # WHOLE model, BN+ReLU (reference: networks/resnet_atrous.py:8,31;
@@ -65,7 +75,7 @@ def create_network(
             n_tasks=n_tasks,
             use_bg_detector=use_bg_detector,
             atrous_encoder=atrous,
-            remat=bool(kwargs.get("remat", False)),
+            remat=remat,
             axis_name=axis_name,
             dtype=dtype,
         )
@@ -96,7 +106,7 @@ def create_network(
             n_tasks=n_tasks,
             use_bg_detector=use_bg_detector,
             axis_name=axis_name,
-            remat=bool(kwargs.get("remat", False)),
+            remat=remat,
             dtype=dtype,
         )
     raise ValueError(f"unknown network {name!r}")

@@ -83,7 +83,7 @@ class DeepLabV3(nn.Module):
     n_tasks: int = 1  # bg-detector head count when enabled
     use_bg_detector: bool = False
     atrous_encoder: bool = False  # SDR ResNet_Atrous backbone (5 attentions)
-    remat: bool = False
+    remat: Any = False  # False | True | tuple of stage ids (resnet.stage_remat)
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
     out_in_planes: int = 256

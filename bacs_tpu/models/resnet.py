@@ -24,6 +24,20 @@ from bacs_tpu.models.norm import ABN, _activate
 
 Array = jax.Array
 
+
+def stage_remat(remat, stage: int) -> bool:
+    """Whether stage `stage` (1-indexed: 1=highest-resolution stage) should
+    rematerialize its blocks. `remat` is False, True (all stages), or a
+    tuple of stage ids — `network.remat=[3]` remats only the 23-block
+    stage-3 of a resnet101, which holds the bulk of the saved activations
+    while costing far less recompute than full remat."""
+    if remat is True:
+        return True
+    if isinstance(remat, (tuple, list)):
+        return stage in tuple(remat)
+    return False
+
+
 # structure table (reference: networks/resnet.py:423-428)
 RESNET_STRUCTURES = {
     "resnet18": ([2, 2, 2, 2], False),
@@ -144,7 +158,9 @@ class ResNet(nn.Module):
     bottleneck: bool = True
     output_stride: int = 16
     norm: Callable[..., nn.Module] = ABN
-    remat: bool = False  # jax.checkpoint each block (trade FLOPs for memory)
+    # jax.checkpoint blocks (trade FLOPs for memory): False | True | tuple
+    # of 1-indexed stage ids to remat selectively (see stage_remat)
+    remat: Any = False
     dtype: Any = jnp.float32
 
     @property
@@ -169,12 +185,14 @@ class ResNet(nn.Module):
 
         attentions = []
         channels = (64, 64, 256) if self.bottleneck else (64, 64)
-        block_cls = Bottleneck if self.bottleneck else BasicBlock
-        if self.remat:
-            # rematerialize block activations in the backward pass
-            # (SURVEY §7: BACS runs up to 4 forwards per step at 512²)
-            block_cls = nn.remat(block_cls)
+        base_cls = Bottleneck if self.bottleneck else BasicBlock
+        # rematerialize block activations in the backward pass
+        # (SURVEY §7: BACS runs up to 4 forwards per step at 512²)
+        remat_cls = nn.remat(base_cls)
         for mod_id, num in enumerate(self.structure):
+            block_cls = (
+                remat_cls if stage_remat(self.remat, mod_id + 1) else base_cls
+            )
             d = dilation[mod_id]
             for block_id in range(num):
                 stride = 2 if d == 1 and block_id == 0 and mod_id > 0 else 1
@@ -202,7 +220,7 @@ def create_resnet(
     name: str = "resnet101",
     norm: Callable[..., nn.Module] = ABN,
     output_stride: int = 16,
-    remat: bool = False,
+    remat: Any = False,
     dtype: Any = jnp.float32,
 ) -> ResNet:
     structure, bottleneck = RESNET_STRUCTURES[name]

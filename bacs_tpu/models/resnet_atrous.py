@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from bacs_tpu.models.norm import ABN
-from bacs_tpu.models.resnet import conv
+from bacs_tpu.models.resnet import conv, stage_remat
 
 Array = jax.Array
 
@@ -84,7 +84,8 @@ class ResNetAtrous(nn.Module):
     atrous: Sequence[int] = (2, 2, 2)
     output_stride: int = 16
     norm: Callable[..., nn.Module] = ABN
-    remat: bool = False
+    # False | True | tuple of 1-indexed stage ids (resnet.stage_remat)
+    remat: Any = False
     dtype: Any = jnp.float32
 
     @property
@@ -108,12 +109,14 @@ class ResNetAtrous(nn.Module):
         )
 
         attentions = [x]  # post-stem (reference: resnet_atrous.py:199)
-        block_cls = AtrousBottleneck
-        if self.remat:
-            block_cls = nn.remat(block_cls)
+        remat_cls = nn.remat(AtrousBottleneck)
         stage_planes = (64, 128, 256, 512)
         stage_strides = (1, *stride_list)
         for s, (planes, n_blocks) in enumerate(zip(stage_planes, self.structure)):
+            block_cls = (
+                remat_cls if stage_remat(self.remat, s + 1)
+                else AtrousBottleneck
+            )
             if s == 3:
                 atrous = [a * rate for a in self.atrous]
                 atrous = (atrous * n_blocks)[:n_blocks]
@@ -139,7 +142,7 @@ def create_resnet_atrous(
     name: str = "resnet101",
     norm: Callable[..., nn.Module] = ABN,
     output_stride: int = 16,
-    remat: bool = False,
+    remat: Any = False,
     dtype: Any = jnp.float32,
 ) -> ResNetAtrous:
     structure, atrous = ATROUS_NETS[name]

@@ -124,7 +124,8 @@ class TranSeg(nn.Module):
     n_tasks: int = 1
     use_bg_detector: bool = False
     axis_name: Any = None
-    remat: bool = False  # jax.checkpoint the backbone blocks (memory trade)
+    # jax.checkpoint backbone blocks (memory trade): False | True | stage ids
+    remat: Any = False
     dtype: Any = jnp.float32
 
     @property

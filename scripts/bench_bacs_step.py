@@ -28,7 +28,7 @@ enable_compilation_cache()
 
 
 def main(smoke: bool = False, bg_weighted: bool = True, replay: bool = True,
-         merged: bool = False, remat: bool = False, buffer_size: int = 50,
+         merged: bool = False, remat=False, buffer_size: int = 50,
          replay_batch: int = 8, image_uint8: bool = False):
     from bacs_tpu.methods import create_method
     from bacs_tpu.methods.base import ModelContext
@@ -159,7 +159,8 @@ def main(smoke: bool = False, bg_weighted: bool = True, replay: bool = True,
                   f"_buf{n_slots}_rb{replay_batch}"
                   + ("_u8" if image_uint8 else "")
                   + ("_merged" if merged else "")
-                  + ("_remat" if remat else ""),
+                  + ("" if not remat else "_remat" if remat is True
+                     else "_remat" + "".join(map(str, remat))),
         "step_ms": round(dt * 1e3, 1),
         "images_per_sec": round(batch / dt, 1),
         "evict_add_ms": round(evict_ms, 1),
@@ -180,7 +181,11 @@ if __name__ == "__main__":
         bg_weighted="--no-weighted" not in sys.argv,
         replay="--no-replay" not in sys.argv,
         merged="--merged" in sys.argv,
-        remat="--remat" in sys.argv,
+        # --remat = full per-block remat; --remat-stages 3 (comma list) =
+        # selective stage remat (models/resnet.py stage_remat)
+        remat=(tuple(int(s) for s in
+                     sys.argv[sys.argv.index("--remat-stages") + 1].split(","))
+               if "--remat-stages" in sys.argv else "--remat" in sys.argv),
         # production scale: --buffer 300 --replay-batch 12
         # (conf/experiments/loss/bacs_plus.yaml)
         buffer_size=_flag("--buffer", 50),
