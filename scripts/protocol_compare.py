@@ -66,6 +66,28 @@ PROTOCOLS = {
         buffer=60, batch=8,
         default_methods=("ce", "bacs"),
     ),
+    # The rest of the author-run VOC scenario grid
+    # (reference: scripts/voc/slurm_train.sh:68-87 — {15-1, 10-1, 15-5,
+    # 19-1} x {overlap, disjoint, sequential}), at the same UNet debug
+    # scale as 15-1; combine with --mode disjoint|sequential for the grid.
+    "10-1": dict(
+        n_classes=21, initial=10, increment=1, crop=48, epochs=6,
+        n_train=160, n_val=32, layers=4, lr=0.05, lr_next=0.01,
+        buffer=60, batch=8,
+        default_methods=("ce", "bacs"),
+    ),
+    "15-5": dict(
+        n_classes=21, initial=15, increment=5, crop=48, epochs=6,
+        n_train=160, n_val=32, layers=4, lr=0.05, lr_next=0.01,
+        buffer=60, batch=8,
+        default_methods=("ce", "bacs"),
+    ),
+    "19-1": dict(
+        n_classes=21, initial=19, increment=1, crop=48, epochs=6,
+        n_train=160, n_val=32, layers=4, lr=0.05, lr_next=0.01,
+        buffer=60, batch=8,
+        default_methods=("ce", "bacs"),
+    ),
     # FLAGSHIP-scale 15-1 (VERDICT r3 next #1): the `rich` synthetic source
     # (class-keyed textures, 6 shape families, textured backgrounds) at crop
     # 256 with enough images/steps that DeepLabV3 trained from scratch is
@@ -192,6 +214,10 @@ def main():
                     help="override the protocol's epochs/task")
     ap.add_argument("--crop", type=int, default=0,
                     help="override the protocol's crop (deeplab needs /16)")
+    ap.add_argument("--mode", default=None,
+                    choices=("overlap", "disjoint", "sequential"),
+                    help="scenario membership mode (default: the config's, "
+                         "overlap)")
     ap.add_argument("--override", action="append", default=[],
                     help="extra hydra-style override(s) appended to every "
                          "leg, e.g. --override +loss.boundary_train_mode=false")
@@ -208,15 +234,20 @@ def main():
     backbone = args.backbone or p.get("backbone", "resnet50")
     methods = (args.methods.split(",") if args.methods
                else list(p["default_methods"]))
+    extra = list(args.override)
+    if args.mode:
+        extra.append(f"training.mode={args.mode}")
     results = []
     for m in methods:
         r = run_method(p, m, args.seed, network=network,
                        backbone=backbone, crop=args.crop,
-                       extra_overrides=tuple(args.override))
+                       extra_overrides=tuple(extra))
         results.append(r)
         print(json.dumps(r))
 
     tag = "" if network == "unet" else f", deeplab/{backbone}"
+    if args.mode:
+        tag += f", {args.mode}"
     print(f"\n## {args.protocol} protocol (seed {args.seed}{tag})\n")
     print("| Method | final mIoU | oldest-task mIoU at end | "
           "Avg-IoU per dataset |")

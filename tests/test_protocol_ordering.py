@@ -43,15 +43,15 @@ def test_flagship_15_1_retention_ordering():
     """FLAGSHIP-scale CL evidence (VERDICT r3 next #1): DeepLabV3 through
     all 6 tasks of the 15-1 protocol on the rich synthetic source must be
     non-degenerate (task-0 trains to >= 0.5 val mIoU) and show the
-    retention ordering BACS/MiB >> CE fine-tuning.  ~45 min on a v5e chip
-    (also runs on CPU, much slower).  Reproduces docs/RESULTS.md's
+    retention ordering BACS+/MiB >> BACS >> CE fine-tuning.  ~70 min on a
+    v5e chip (also runs on CPU, much slower).  Reproduces docs/RESULTS.md's
     flagship table at reduced epochs."""
     from scripts.protocol_compare import PROTOCOLS, run_method
 
     p = dict(PROTOCOLS["15-1-flagship"])
     results = {
         m: run_method(p, m, seed=42, network="deeplab", backbone="resnet50")
-        for m in ("ce", "mib", "bacs")
+        for m in ("ce", "mib", "bacs", "bacs_plus")
     }
     ce_old = results["ce"]["oldest_task_miou"]
     # non-degeneracy: the flagship model actually LEARNS task 0
@@ -59,10 +59,16 @@ def test_flagship_15_1_retention_ordering():
     assert results["ce"]["task0_miou"] > 0.5, results["ce"]
     assert ce_old < 0.35, f"fine-tuning unexpectedly retains {ce_old}"
     # measured r4 (docs/RESULTS.md): CE 0.068 / BACS 0.197 (2.9x) /
-    # MiB 0.737 (10.8x) — threshold 2.5x keeps headroom under seed noise
-    for m in ("mib", "bacs"):
+    # BACS+ 0.684 (10.1x) / MiB 0.737 (10.8x) — threshold 2.5x keeps
+    # headroom under seed noise
+    for m in ("mib", "bacs", "bacs_plus"):
         old = results[m]["oldest_task_miou"]
         assert old > 2.5 * ce_old, (
             f"{m} oldest-task mIoU {old} vs CE {ce_old}: retention collapsed"
         )
         assert results[m]["final_miou"] > results["ce"]["final_miou"]
+    # the paper's hyperparameters (alpha=0.8 + seen-gated bg_weighted_ce,
+    # reference conf/experiments/loss/bacs_plus.yaml) are load-bearing:
+    # measured 0.660 final / 0.684 oldest vs plain BACS's 0.186/0.197
+    assert results["bacs_plus"]["oldest_task_miou"] > 0.4
+    assert results["bacs_plus"]["final_miou"] > 0.4
