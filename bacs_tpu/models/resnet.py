@@ -31,11 +31,9 @@ def stage_remat(remat, stage: int) -> bool:
     tuple of stage ids — `network.remat=[3]` remats only the 23-block
     stage-3 of a resnet101, which holds the bulk of the saved activations
     while costing far less recompute than full remat."""
-    if remat is True:
-        return True
     if isinstance(remat, (tuple, list)):
         return stage in tuple(remat)
-    return False
+    return bool(remat)
 
 
 # structure table (reference: networks/resnet.py:423-428)

@@ -160,7 +160,7 @@ def main(smoke: bool = False, bg_weighted: bool = True, replay: bool = True,
                   + ("_u8" if image_uint8 else "")
                   + ("_merged" if merged else "")
                   + ("" if not remat else "_remat" if remat is True
-                     else "_remat" + "".join(map(str, remat))),
+                     else "_remat" + "-".join(map(str, remat))),
         "step_ms": round(dt * 1e3, 1),
         "images_per_sec": round(batch / dt, 1),
         "evict_add_ms": round(evict_ms, 1),

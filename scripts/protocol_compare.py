@@ -51,6 +51,7 @@ METHOD_LOSS = {
     # instead of the protocol's α=β=0.5
     "bacs_plus": "bacs",
     "sdr": "sdr",
+    "icarl": "icarl",
 }
 
 PROTOCOLS = {
