@@ -194,18 +194,53 @@ class DecodedCache:
         self._imgs[i] = img
         self._lbls[i] = lbl
 
+    @staticmethod
+    def _row_runs(indices, row_bytes: int, total_bytes: int):
+        """Byte ranges covering the given memmap rows, consecutive rows
+        coalesced and each range aligned down to mmap's flush granularity
+        (mmap.flush requires an ALLOCATIONGRANULARITY-aligned offset).
+        Pure helper so the range math is unit-testable."""
+        import mmap as _mmap
+
+        gran = _mmap.ALLOCATIONGRANULARITY
+        runs = []
+        for i in sorted(set(int(i) for i in indices)):
+            if runs and i == runs[-1][1]:
+                runs[-1][1] = i + 1
+            else:
+                runs.append([i, i + 1])
+        out = []
+        for lo_row, hi_row in runs:
+            lo = (lo_row * row_bytes) // gran * gran
+            hi = min(hi_row * row_bytes, total_bytes)
+            # merge with the previous range if page alignment made them touch
+            if out and lo <= out[-1][1]:
+                out[-1] = (out[-1][0], max(hi, out[-1][1]))
+            else:
+                out.append((lo, hi))
+        return out
+
+    def _flush_rows(self, mm: np.memmap, indices) -> None:
+        """msync only the pages covering the written rows.  A whole-map
+        flush is O(cache size) per batch-commit (round-3 advisor finding);
+        the dirty-range form keeps the durability barrier at O(batch)."""
+        buf = mm._mmap
+        for lo, hi in self._row_runs(indices, mm.strides[0], len(buf)):
+            buf.flush(lo, hi - lo)
+
     def _commit(self, indices) -> None:
         """Set the valid flags — AFTER the pixel pages are on disk.
 
         Writeback is not program order: without the flush barrier the OS may
         persist a valid=1 page while the corresponding pixel pages were never
         written, and a machine crash mid-fill would leave the cache silently
-        serving all-zero images/labels forever.  (Flushed once per batch, not
-        per sample.)  A crash before the flag write just re-decodes.
+        serving all-zero images/labels forever.  (Flushed once per batch and
+        only over the dirty rows, not per sample / whole map.)  A crash
+        before the flag write just re-decodes.
         """
         if self._disk:
-            self._imgs.flush()
-            self._lbls.flush()
+            self._flush_rows(self._imgs, indices)
+            self._flush_rows(self._lbls, indices)
         for i in indices:
             self._valid[i] = 1
 

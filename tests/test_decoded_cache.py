@@ -152,19 +152,21 @@ def test_disk_commit_flushes_pixels_before_valid_flags(voc_root, tmp_path,
     valid flag is set (writeback is not program order — a machine crash
     could otherwise persist valid=1 over never-written pixel pages and the
     cache would silently serve zeros forever)."""
+    from bacs_tpu.data.datasets import DecodedCache
+
     src, cached = _cache(voc_root, tmp_path)
     valid_at_flush = []
-    orig_flush = np.memmap.flush
+    orig_flush = DecodedCache._flush_rows
 
-    def spy(self):
-        # scope to THIS cache's pixel memmaps: an incidental flush from any
-        # other memmap (second cache init, finalizer) must not skew the
-        # exactly-2-per-commit count below
-        if self is cached._imgs or self is cached._lbls:
+    def spy(self, mm, indices):
+        # spy on the cache's OWN flush method (round-3 advisor finding: the
+        # old global np.memmap.flush patch could catch incidental flushes
+        # from unrelated memmaps — finalizers, second caches — and flake)
+        if self is cached:
             valid_at_flush.append(np.array(cached._valid))
-        return orig_flush(self)
+        return orig_flush(self, mm, indices)
 
-    monkeypatch.setattr(np.memmap, "flush", spy)
+    monkeypatch.setattr(DecodedCache, "_flush_rows", spy)
     cached.load_batch([0, 1, 2])
     assert cached._valid[[0, 1, 2]].all()
     # one imgs + one lbls flush per BATCH (not per sample), both taken
@@ -177,3 +179,53 @@ def test_disk_commit_flushes_pixels_before_valid_flags(voc_root, tmp_path,
     cached.load(5)
     assert cached._valid[5] and len(valid_at_flush) == 2
     assert not any(s[5] for s in valid_at_flush)
+
+
+def test_flush_row_range_math():
+    """_row_runs coalesces consecutive rows, aligns offsets down to mmap
+    granularity, clamps to the file end, and merges ranges that touch
+    after alignment."""
+    import mmap
+
+    from bacs_tpu.data.datasets import DecodedCache
+
+    gran = mmap.ALLOCATIONGRANULARITY
+    row = gran * 2 + 128  # deliberately NOT page-aligned
+    total = row * 100
+
+    runs = DecodedCache._row_runs([3, 1, 2, 7], row, total)
+    # rows 1-3 coalesce into one run, row 7 stands alone
+    assert len(runs) == 2
+    (lo0, hi0), (lo1, hi1) = runs
+    for lo, hi in runs:
+        assert lo % gran == 0 and 0 <= lo < hi <= total
+    # each run covers its rows' full byte span
+    assert lo0 <= 1 * row and hi0 >= 4 * row
+    assert lo1 <= 7 * row and hi1 >= 8 * row
+    # last row clamps to the file end instead of flushing past it
+    (lo, hi), = DecodedCache._row_runs([99], row, total)
+    assert hi == total and lo % gran == 0
+
+    # adjacent-after-alignment rows merge instead of overlapping: with
+    # row < granularity every row shares pages with its neighbours
+    small_row = max(gran // 4, 1)
+    runs = DecodedCache._row_runs([0, 1, 2], small_row, small_row * 16)
+    assert runs == [(0, 3 * small_row)]
+    prev_hi = -1
+    for lo, hi in DecodedCache._row_runs([0, 2, 4, 6], small_row,
+                                         small_row * 16):
+        assert lo >= prev_hi  # non-overlapping, sorted
+        prev_hi = hi
+
+
+def test_disk_cache_flush_persists_rows(voc_root, tmp_path):
+    """End-to-end: the dirty-range flush path runs against real memmaps
+    (exercising mmap.flush offset/size) and the committed rows reread
+    correctly through a fresh mapping of the same files."""
+    src, cached = _cache(voc_root, tmp_path)
+    a = cached.load_batch([0, 3, 4])
+    src2, cached2 = _cache(voc_root, tmp_path)
+    assert cached2._valid[[0, 3, 4]].all()
+    b = cached2.load_batch([0, 3, 4])
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
