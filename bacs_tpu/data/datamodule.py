@@ -527,8 +527,24 @@ def create_datamodule(config) -> DataModule:
         n_train = int(inner.get("n_train", 64))
         n_val = int(inner.get("n_val", 16))
         style = str(inner.get("style", "flat"))
-        train = SyntheticSource(n_train, crop, num_classes, seed=1, style=style)
-        val = SyntheticSource(n_val, crop, num_classes, seed=2, style=style)
+        # controlled background-shift regime (see SyntheticSource.__init__):
+        # `+dataset.dataset.cooccur=R` plants unlabeled old-class instances
+        # in new-era images at rate R; `+dataset.dataset.bg_drift=true`
+        # additionally shifts new-era background appearance.  Era structure
+        # mirrors the training split (initial_increment/increment).
+        era_kw = {}
+        cooccur = float(inner.get("cooccur", -1.0))
+        if cooccur >= 0 or bool(inner.get("bg_drift", False)):
+            era_kw = dict(
+                cooccur=max(cooccur, 0.0),
+                bg_drift=bool(inner.get("bg_drift", False)),
+                cooccur_initial=int(tcfg.get("initial_increment", 0) or 0),
+                cooccur_increment=int(tcfg.get("increment", 0) or 1),
+            )
+        train = SyntheticSource(n_train, crop, num_classes, seed=1,
+                                style=style, **era_kw)
+        val = SyntheticSource(n_val, crop, num_classes, seed=2, style=style,
+                              **era_kw)
         if str(cache_decoded).lower() == "device":
             from bacs_tpu.data.datasets import DeviceCache
 

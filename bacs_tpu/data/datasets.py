@@ -313,16 +313,52 @@ class SyntheticSource:
     """
 
     def __init__(self, n: int, size: int, num_classes: int, seed: int = 0,
-                 style: str = "flat"):
+                 style: str = "flat", cooccur: float = -1.0,
+                 cooccur_initial: int = 0, cooccur_increment: int = 1,
+                 bg_drift: bool = False):
         assert style in ("flat", "rich"), style
         self.n = n
         self.size = size
         self.num_classes = num_classes
         self.seed = seed
         self.style = style
+        # -- controlled background-shift regime (rich style only) ---------
+        # cooccur >= 0 switches class sampling to ERA-STRUCTURED mode: each
+        # image gets one uniform "anchor" class defining its era (era 0 =
+        # classes 1..cooccur_initial; later eras add cooccur_increment
+        # classes each, mirroring a class-incremental split in class-id
+        # order). Extra objects in an era-e>0 image are drawn from OLD-era
+        # classes with probability `cooccur` (at training time these pixels
+        # are collapsed to background → true background shift, the regime
+        # BACS's seen-detector targets, reference: loss/bacs_loss.py:258-294)
+        # and from the anchor's own era otherwise.  With `bg_drift`, era-e>0
+        # images additionally get a fixed per-era background appearance
+        # (channel gain/bias + a high-frequency hatch absent from era 0) —
+        # background pixels whose appearance was NEVER seen in earlier
+        # tasks, violating MiB's bg-is-a-mixture-of-old-classes modeling
+        # assumption (reference: loss/loss_utils.py unbiased CE).
+        self.cooccur = float(cooccur)
+        self.cooccur_initial = int(cooccur_initial)
+        self.cooccur_increment = max(1, int(cooccur_increment))
+        self.bg_drift = bool(bg_drift)
+        if self.cooccur >= 0 or self.bg_drift:
+            assert style == "rich", "era mode needs the rich generator"
+            assert 1 <= self.cooccur_initial < num_classes - 1
         self.class_names = ["background"] + [
             f"class_{i}" for i in range(1, num_classes)
         ]
+
+    def _class_era(self, c: int) -> int:
+        if c <= self.cooccur_initial:
+            return 0
+        return 1 + (c - self.cooccur_initial - 1) // self.cooccur_increment
+
+    def _era_classes(self, era: int) -> np.ndarray:
+        if era == 0:
+            return np.arange(1, self.cooccur_initial + 1)
+        lo = self.cooccur_initial + 1 + (era - 1) * self.cooccur_increment
+        return np.arange(lo, min(lo + self.cooccur_increment,
+                                 self.num_classes))
 
     def __len__(self):
         return self.n
@@ -384,11 +420,32 @@ class SyntheticSource:
         bg += 8.0 * np.sin(
             (xx * np.cos(ang) + yy * np.sin(ang)) * rng.uniform(0.02, 0.06)
         )[..., None]
+        n_obj = rng.randint(3, 7)
+        if self.cooccur >= 0:  # era-structured mode (see __init__)
+            anchor = int(rng.randint(1, self.num_classes))
+            era = self._class_era(anchor)
+            old = np.arange(1, self._era_classes(era)[0]) if era else None
+            extras = []
+            for _ in range(n_obj - 1):
+                pool = (old if era > 0 and rng.uniform() < self.cooccur
+                        else self._era_classes(era))
+                extras.append(int(pool[rng.randint(len(pool))]))
+            classes = np.array([anchor] + extras)
+            if self.bg_drift and era > 0:
+                # fixed per-era appearance shift: deterministic channel
+                # gain/bias plus a high-frequency hatch that era-0
+                # backgrounds never contain
+                drs = np.random.RandomState(771_000 + era)
+                bg = bg * drs.uniform(0.55, 1.35, 3).astype(np.float32) \
+                    + drs.uniform(-45, 45, 3).astype(np.float32)
+                hang = drs.uniform(0, np.pi)
+                u = xx * np.cos(hang) + yy * np.sin(hang)
+                bg += 18.0 * (np.sin(u * drs.uniform(0.25, 0.45)) > 0
+                              )[..., None].astype(np.float32)
+        else:
+            classes = rng.randint(1, self.num_classes, size=n_obj)
         img = bg
         lbl = np.zeros((s, s), np.uint8)
-
-        n_obj = rng.randint(3, 7)
-        classes = rng.randint(1, self.num_classes, size=n_obj)
         for c in classes:
             cx, cy = rng.uniform(0.1 * s, 0.9 * s, 2)
             r = rng.uniform(s / 9, s / 4)

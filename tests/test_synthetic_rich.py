@@ -72,6 +72,120 @@ def test_rich_flat_styles_differ_but_flat_unchanged():
     np.testing.assert_array_equal(lbl, exp)
 
 
+def test_cooccur_era_structure_and_rate():
+    """Era mode (VERDICT r4 next #2): each image carries exactly one era's
+    new classes (its anchor's), and `cooccur` controls how often old-era
+    instances are planted inside new-era images (collapsed to background at
+    train time → true background shift)."""
+    def stats(rate):
+        src = SyntheticSource(300, 48, 21, seed=9, style="rich",
+                              cooccur=rate, cooccur_initial=15)
+        n_new, n_with_old = 0, 0
+        for i in range(300):
+            cs = sorted(set(int(c) for c in np.unique(src.load_label(i)))
+                        - {0})
+            if not cs:
+                continue
+            m = cs[-1]
+            if m > 15:
+                # one era per image: every other class predates m's era
+                assert all(c < m for c in cs[:-1]), cs
+                n_new += 1
+                n_with_old += any(c <= 15 for c in cs[:-1])
+        return n_new, n_with_old
+
+    n0, w0 = stats(0.0)
+    n9, w9 = stats(0.95)
+    assert n0 > 40 and n9 > 40  # new-era images are plentiful
+    assert w0 == 0              # rate 0: no base-era instances planted
+    assert w9 > 0.6 * n9        # rate .95: most new-era images carry them
+
+
+def test_cooccur_disjoint_split_is_era_exact():
+    """In disjoint membership mode the era structure gives each task
+    exactly its own era's images — old-class pixels inside new-task images
+    are allowed (they're `old`), future classes exclude."""
+    from bacs_tpu.data.continual import ContinualScenario, compute_class_sets
+
+    src = SyntheticSource(120, 48, 21, seed=4, style="rich",
+                          cooccur=0.8, cooccur_initial=15)
+    sets = compute_class_sets(
+        lambda i=i: src.load_label(i) for i in range(120))
+    sc = ContinualScenario(sets, initial_increment=15, increment=1,
+                           num_classes=21, mode="disjoint")
+    all_idx = []
+    for t in range(6):
+        idx = sc.task_indices(t)
+        all_idx += list(idx)
+        for i in idx:
+            cs = set(int(c) for c in sets[i])
+            m = max(cs)
+            era = 0 if m <= 15 else m - 15
+            assert era == t, (i, cs, t)
+    # every image with >=1 class lands in exactly one task
+    n_nonempty = sum(1 for s in sets if len(s))
+    assert len(all_idx) == len(set(all_idx)) == n_nonempty
+
+
+def test_bg_drift_shifts_new_era_background_appearance():
+    """With bg_drift, era>0 background pixels have a distribution era 0
+    never produced (channel gain/bias + high-frequency hatch); without it,
+    backgrounds are era-independent."""
+    def bg_means(drift):
+        """Per-era mean background color (the drift is FIXED per era, so
+        pooling eras would average distinct shifts toward neutral)."""
+        src = SyntheticSource(400, 48, 21, seed=11, style="rich",
+                              cooccur=0.5, cooccur_initial=15,
+                              bg_drift=drift)
+        acc = {}
+        for i in range(400):
+            img, lbl = src.load(i)
+            cs = set(int(c) for c in np.unique(lbl)) - {0}
+            if not cs:
+                continue
+            era = max(0, max(cs) - 15)
+            bg = img[lbl == 0]
+            if len(bg) > 100:
+                acc.setdefault(era, []).append(bg.mean(axis=0))
+        return {e: np.mean(v, axis=0) for e, v in acc.items() if len(v) >= 3}
+
+    raw = bg_means(False)
+    dr = bg_means(True)
+    new_eras = [e for e in raw if e > 0 and e in dr]
+    assert len(new_eras) >= 3  # several new eras observed in both modes
+    # no drift: every era's background matches era 0's
+    assert max(np.linalg.norm(raw[e] - raw[0]) for e in new_eras) < 12.0
+    # drift: at least one era strongly shifted, most shift well past noise
+    shifts = [np.linalg.norm(dr[e] - dr[0]) for e in new_eras]
+    assert max(shifts) > 40.0
+    assert np.median(shifts) > 20.0
+    # era-0 backgrounds are untouched by the knob
+    assert np.linalg.norm(raw[0] - dr[0]) < 6.0
+
+
+def test_datamodule_cooccur_plumbing():
+    from bacs_tpu.data.datamodule import create_datamodule
+
+    cfg = {
+        "dataset": {
+            "_target_": "dataloaders.SyntheticDataModule",
+            "dataset": {
+                "num_classes": 21, "crop_size": 32, "n_train": 8,
+                "n_val": 4, "style": "rich", "cooccur": 0.7,
+                "bg_drift": True,
+            },
+        },
+        "training": {
+            "batch_size": 4, "initial_increment": 15, "increment": 1,
+            "mode": "disjoint", "seed": 0, "debug": False,
+        },
+    }
+    dm = create_datamodule(cfg)
+    for src in (dm.train_source, dm.val_source):
+        assert src.cooccur == 0.7 and src.bg_drift
+        assert src.cooccur_initial == 15 and src.cooccur_increment == 1
+
+
 def test_device_cache_matches_source_and_lives_on_device():
     src = SyntheticSource(6, 32, 5, seed=2, style="rich")
     dc = DeviceCache(src)
