@@ -506,3 +506,89 @@ def convert_reference_unet(
                 hp["bias"] = jnp.asarray(bias)
                 loaded += 1
     return params, batch_stats, loaded
+
+
+# --------------------------------------------------------------------------
+# Export: Flax backbone → PLOP-release checkpoint format
+# --------------------------------------------------------------------------
+
+def _to_torch_conv(k: np.ndarray) -> np.ndarray:
+    # kernel [kh, kw, in, out] → weight [out, in, kh, kw]
+    return np.transpose(np.asarray(k), (3, 2, 0, 1))
+
+
+def export_backbone_release(variables: Dict[str, Any], path: str,
+                            n_fc_classes: int = 1000) -> int:
+    """Write our Flax ResNet backbone as a `resnet101_iabn_sync.pth.tar`-style
+    release checkpoint — the EXACT layout the reference consumes
+    (reference: networks/resnet.py:455-488: `torch.load(..)["state_dict"]`,
+    keys `module.`-prefixed, `module.classifier.fc.{weight,bias}` present and
+    deleted by the loader; block convs live under `.convs.`).
+
+    This is the inverse of `load_pretrained_backbone` up to the ABN
+    |weight| convention (inplace-ABN applies abs(weight) at forward time,
+    so the importer takes the magnitude).  Returns the number of backbone
+    tensors written (excluding the synthesized classifier head).
+    """
+    import torch
+
+    bb_p = variables["params"]["backbone"]
+    bb_s = variables.get("batch_stats", {}).get("backbone", {})
+    sd: Dict[str, Any] = {}
+    written = 0
+
+    def put(key: str, value: np.ndarray):
+        nonlocal written
+        # copy=True: jax arrays expose read-only buffers torch can't wrap
+        sd[f"module.{key}"] = torch.from_numpy(
+            np.array(value, np.float32, copy=True))
+        written += 1
+
+    def put_norm(tkey: str, mod_p: Dict[str, Any], mod_s: Dict[str, Any]):
+        put(f"{tkey}.weight", mod_p["scale"])
+        put(f"{tkey}.bias", mod_p["bias"])
+        put(f"{tkey}.running_mean", mod_s["mean"])
+        put(f"{tkey}.running_var", mod_s["var"])
+
+    for name in sorted(bb_p):
+        node_p, node_s = bb_p[name], bb_s.get(name, {})
+        if name == "conv1":
+            put("mod1.conv1.weight", _to_torch_conv(node_p["kernel"]))
+        elif name == "bn1":
+            put_norm("mod1.bn1", node_p, node_s)
+        else:
+            m = re.match(r"mod(\d+)_block(\d+)$", name)
+            if not m:
+                raise ValueError(f"unexpected backbone module {name!r}")
+            base = f"mod{m.group(1)}.block{m.group(2)}"
+            for sub in sorted(node_p):
+                if sub.startswith("conv"):
+                    put(f"{base}.convs.{sub}.weight",
+                        _to_torch_conv(node_p[sub]["kernel"]))
+                elif sub.startswith("bn"):
+                    put_norm(f"{base}.convs.{sub}", node_p[sub], node_s[sub])
+                elif sub == "proj_conv":
+                    put(f"{base}.proj_conv.weight",
+                        _to_torch_conv(node_p[sub]["kernel"]))
+                elif sub == "proj_bn":
+                    put_norm(f"{base}.proj_bn", node_p[sub], node_s[sub])
+                else:
+                    raise ValueError(f"unexpected leaf {name}.{sub}")
+
+    n_bb = written
+    # the release file carries an ImageNet fc the reference loader deletes
+    # (networks/resnet.py:480-481); synthesize it for format exactness
+    out_ch = int(np.asarray(bb_p["bn1"]["scale"]).shape[0])
+    for name in bb_p:
+        mm = re.match(r"mod(\d+)_block(\d+)$", name)
+        if mm and "conv3" in bb_p[name]:
+            out_ch = max(out_ch, int(
+                np.asarray(bb_p[name]["conv3"]["kernel"]).shape[-1]))
+        elif mm and "conv2" in bb_p[name]:
+            out_ch = max(out_ch, int(
+                np.asarray(bb_p[name]["conv2"]["kernel"]).shape[-1]))
+    put("classifier.fc.weight", np.zeros((n_fc_classes, out_ch), np.float32))
+    put("classifier.fc.bias", np.zeros((n_fc_classes,), np.float32))
+
+    torch.save({"state_dict": sd}, os.path.expanduser(path))
+    return n_bb

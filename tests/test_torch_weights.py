@@ -65,3 +65,85 @@ def test_convert_maps_conv_and_norm_tensors():
         np.asarray(params["backbone"]["mod3_block1"]["proj_conv"]["kernel"]),
         np.transpose(sd["mod3.block1.proj_conv.weight"], (2, 3, 1, 0)),
     )
+
+
+def _leaf_paths(tree, prefix=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _leaf_paths(v, prefix + (k,))
+    else:
+        yield prefix, tree
+
+
+def test_release_export_roundtrip_maps_every_tensor(tmp_path):
+    """VERDICT r4 next #5: the release-format exporter writes the EXACT
+    layout the reference consumes (module.-prefixed state_dict with a
+    classifier fc), and load_pretrained_backbone recovers EVERY backbone
+    tensor from it (bijective round trip, up to the ABN |weight| rule)."""
+    import jax
+
+    from bacs_tpu.utils.torch_weights import (
+        export_backbone_release, load_pretrained_backbone)
+
+    net = create_network("deeplab", backbone="resnet18", num_classes=4,
+                         axis_name=None, crop_size=32)
+    rng = {"params": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)}
+    variables = net.init(rng, np.zeros((1, 32, 32, 3), np.float32),
+                         train=False)
+    # perturb so "loaded" is distinguishable from "left at init": re-init
+    # with a different key gives a distinct target tree
+    v2 = net.init({"params": jax.random.PRNGKey(9),
+                   "dropout": jax.random.PRNGKey(10)},
+                  np.zeros((1, 32, 32, 3), np.float32), train=False)
+
+    path = str(tmp_path / "resnet18_iabn_sync.pth.tar")
+    n_written = export_backbone_release(variables, path)
+
+    # format exactness: module.-prefixed, classifier fc present, .convs.
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    keys = list(raw["state_dict"].keys())
+    assert all(k.startswith("module.") for k in keys)
+    assert "module.classifier.fc.weight" in keys
+    assert "module.mod1.conv1.weight" in keys
+    assert any(".convs.conv1.weight" in k for k in keys)
+    n_leaves = sum(1 for _ in _leaf_paths(variables["params"]["backbone"]))
+    n_stats = sum(1 for _ in _leaf_paths(variables["batch_stats"]["backbone"]))
+    assert n_written == n_leaves + n_stats  # every backbone tensor exported
+
+    params, stats, n_loaded = load_pretrained_backbone(path, v2)
+    assert n_loaded == n_written  # every exported tensor mapped back
+    for path_p, leaf in _leaf_paths(params["backbone"]):
+        src = variables["params"]["backbone"]
+        for p in path_p:
+            src = src[p]
+        expect = np.abs(src) if path_p[-1] == "scale" else np.asarray(src)
+        np.testing.assert_allclose(np.asarray(leaf), expect, rtol=1e-6,
+                                   err_msg="/".join(path_p))
+    for path_s, leaf in _leaf_paths(stats["backbone"]):
+        src = variables["batch_stats"]["backbone"]
+        for p in path_s:
+            src = src[p]
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(src),
+                                   rtol=1e-6, err_msg="/".join(path_s))
+
+
+def test_release_export_roundtrip_resnet101_bottleneck(tmp_path):
+    """Same bijectivity on the production arch (bottleneck blocks with
+    conv3/proj paths; reference recipe backbone resnet101)."""
+    import jax
+
+    from bacs_tpu.utils.torch_weights import (
+        export_backbone_release, load_pretrained_backbone)
+
+    net = create_network("deeplab", backbone="resnet101", num_classes=4,
+                         axis_name=None, crop_size=32)
+    variables = net.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        np.zeros((1, 32, 32, 3), np.float32), train=False)
+    path = str(tmp_path / "resnet101_iabn_sync.pth.tar")
+    n_written = export_backbone_release(variables, path)
+    n_leaves = sum(1 for _ in _leaf_paths(variables["params"]["backbone"]))
+    n_stats = sum(1 for _ in _leaf_paths(variables["batch_stats"]["backbone"]))
+    assert n_written == n_leaves + n_stats
+    _, _, n_loaded = load_pretrained_backbone(path, variables)
+    assert n_loaded == n_written
