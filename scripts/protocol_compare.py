@@ -103,6 +103,21 @@ PROTOCOLS = {
         net="deeplab", backbone="resnet50", style="rich", cache="device",
         default_methods=("ce", "mib", "bacs"),
     ),
+    # PAPER-scale 15-1 (VERDICT r4 next #4): the reference recipe's true
+    # footprint — RN101, crop 512, batch 12, buffer 300 / replay 12,
+    # lr_next 1e-3 (conf/bacs/training/der_15_1.yaml:3-17 +
+    # conf/experiments/loss/bacs_plus.yaml) — epochs scaled down honestly
+    # (4 vs the paper's 30) to fit a round budget.  Needs uint8 buffer
+    # images + full remat on one 16 GB v5e (docs/RESULTS.md round-4
+    # capacity table: 346 ms/step; non-remat OOMs).
+    "15-1-paper": dict(
+        n_classes=21, initial=15, increment=1, crop=512, epochs=6,
+        n_train=1024, n_val=96, layers=4, lr=0.02, lr_next=0.001,
+        buffer=300, batch=12, replay=12,
+        net="deeplab", backbone="resnet101", style="rich", cache="device",
+        u8_buffer=True, remat=True,
+        default_methods=("ce", "bacs_plus"),
+    ),
     # ADE20K 100-50 composition shape (BASELINE.json config #5;
     # reference: conf/experiments/dataset/ade.yaml 151 classes): two tasks
     # at ADE's class count exercising the padded-class-width machinery —
@@ -162,6 +177,8 @@ def run_method(protocol: dict, method: str, seed: int,
         overrides.append(f"+dataset.dataset.style={p['style']}")
     if p.get("cache"):
         overrides.append(f"+dataset.dataset.cache_decoded={p['cache']}")
+    if p.get("remat"):
+        overrides.append("network.remat=true")
     if method in ("bacs", "bacs_plus"):
         plus = method == "bacs_plus"
         overrides += [
@@ -174,10 +191,14 @@ def run_method(protocol: dict, method: str, seed: int,
             overrides.append("+loss.bg_weighted_ce=true")
         if p.get("replay"):
             overrides.append(f"loss.replay_minibatch_size={p['replay']}")
+        if p.get("u8_buffer"):
+            overrides.append("+loss.buffer_image_dtype=uint8")
     elif method == "er":
         overrides += [f"loss.buffer_size={p['buffer']}"]
         if p.get("replay"):
             overrides.append(f"loss.replay_minibatch_size={p['replay']}")
+        if p.get("u8_buffer"):
+            overrides.append("+loss.buffer_image_dtype=uint8")
     overrides += list(extra_overrides)
     config = load_config("conf/continual_debug", "config", overrides)
     t0 = time.time()
