@@ -143,6 +143,10 @@ class Trainer:
             tcfg.get("debug", False)
         )
         self.save_checkpoints = bool(self.ckpt_dir)
+        # strict_restore=true turns silent fresh-start fallback on
+        # checkpoint structure drift into a hard error (a production run
+        # resuming as step 0 is worse than failing loudly)
+        self.strict_restore = bool(tcfg.get("strict_restore", False))
         self._resume_epoch = -1
 
         # observability callbacks (reference: visualization/, trainer.py:203-223)
@@ -742,7 +746,11 @@ class Trainer:
             )
         try:
             self.state = restore_checkpoint(path, template)
-        except Exception as e:  # structure drift → start fresh
+        except Exception as e:  # structure drift → start fresh (or raise)
+            if self.strict_restore:
+                raise RuntimeError(
+                    f"training.strict_restore: cannot resume from {path}"
+                ) from e
             self.logger.info(f"resume failed ({e}); starting fresh")
             self.state = None
             return 0

@@ -1,6 +1,7 @@
 """Checkpoint save/restore roundtrip incl. buffer + prev-model state."""
 
 import os
+import pytest
 import tempfile
 
 import jax
@@ -240,3 +241,41 @@ def test_completed_task_resume_starts_next_task(tmp_path, monkeypatch):
         np.asarray(trainer2.state.buffer.valid), buf_valid
     )
     assert calls == [], "end_task must not re-run for the completed task"
+
+def test_strict_restore_raises_on_structure_drift(tmp_path):
+    """training.strict_restore=true: checkpoint structure drift raises
+    instead of silently restarting from scratch (round-4 weak item —
+    loop.py previously only logged a line)."""
+    from bacs_tpu.config.core import load_config
+    from bacs_tpu.train.loop import Trainer
+    from bacs_tpu.utils.checkpoint import wait_for_pending_saves
+
+    ckpt = str(tmp_path / "ckpt")
+    cfg = load_config(
+        "conf/continual_debug", "config",
+        ["training.debug=false", "training.epochs=1",
+         f"+training.ckpt_dir={ckpt}"],
+    )
+    Trainer(cfg).fit()
+    wait_for_pending_saves()
+
+    # different network → template tree no longer matches the checkpoint
+    drifted = load_config(
+        "conf/continual_debug", "config",
+        ["training.debug=false", "training.epochs=1",
+         f"+training.ckpt_dir={ckpt}", "network.num_layers=3",
+         "+training.strict_restore=true"],
+    )
+    trainer = Trainer(drifted)
+    with pytest.raises(RuntimeError, match="strict_restore"):
+        trainer._try_resume()
+
+    # default (non-strict) keeps the old behavior: fresh start, task 0
+    lax_cfg = load_config(
+        "conf/continual_debug", "config",
+        ["training.debug=false", "training.epochs=1",
+         f"+training.ckpt_dir={ckpt}", "network.num_layers=3"],
+    )
+    lax = Trainer(lax_cfg)
+    assert lax._try_resume() == 0
+    assert lax.state is None
