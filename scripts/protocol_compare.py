@@ -107,7 +107,7 @@ PROTOCOLS = {
     # footprint — RN101, crop 512, batch 12, buffer 300 / replay 12,
     # lr_next 1e-3 (conf/bacs/training/der_15_1.yaml:3-17 +
     # conf/experiments/loss/bacs_plus.yaml) — epochs scaled down honestly
-    # (4 vs the paper's 30) to fit a round budget.  Needs uint8 buffer
+    # (6 vs the paper's 30) to fit a round budget.  Needs uint8 buffer
     # images + full remat on one 16 GB v5e (docs/RESULTS.md round-4
     # capacity table: 346 ms/step; non-remat OOMs).
     "15-1-paper": dict(

@@ -102,6 +102,37 @@ def test_flagship_15_1_all_methods_beat_ce():
     assert results["icarl"]["final_miou"] > results["er"]["final_miou"]
 
 
+def test_cooccur_background_shift_crossover():
+    """Round-5 controlled background-shift regime (VERDICT r4 next #2):
+    with era-structured data (unlabeled old-class instances planted in
+    new-task images at rate 0.5 + per-era background appearance drift,
+    disjoint membership) the paper's BACS >= MiB ordering must reproduce
+    at FLAGSHIP scale.  Measured v5e seed 42 (docs/RESULTS.md round 5):
+    CE 0.080/0.053, MiB 0.119/0.136, BACS+ 0.260/0.472 final/oldest —
+    BACS+ retains 3.5x MiB.  ~45 min on a v5e chip."""
+    from scripts.protocol_compare import PROTOCOLS, run_method
+
+    p = dict(PROTOCOLS["15-1-flagship"])
+    shift = (
+        "training.mode=disjoint",
+        "+dataset.dataset.cooccur=0.5",
+        "+dataset.dataset.bg_drift=true",
+    )
+    res = {
+        m: run_method(p, m, seed=42, network="deeplab", backbone="resnet50",
+                      extra_overrides=shift)
+        for m in ("ce", "mib", "bacs_plus")
+    }
+    # non-degenerate: task 0 still trains in the era regime
+    assert res["ce"]["task0_miou"] > 0.5, res["ce"]
+    # the crossover, with margin (measured 2.2x final / 3.5x oldest)
+    assert res["bacs_plus"]["final_miou"] > 1.5 * res["mib"]["final_miou"], res
+    assert (res["bacs_plus"]["oldest_task_miou"]
+            > 2 * res["mib"]["oldest_task_miou"]), res
+    for m in ("mib", "bacs_plus"):
+        assert res[m]["final_miou"] > res["ce"]["final_miou"]
+
+
 def test_voc_grid_disjoint_ordering_crossover():
     """Round-5 scenario-grid guard (VERDICT r4 next #3 / weak #1): on the
     15-1 DISJOINT cell the paper's BACS >= MiB ordering reproduces
