@@ -77,6 +77,10 @@ class Trainer:
         # config-keyed kernel gate (training.fused_ce; replaces the round-2
         # BACS_FUSED_UPSAMPLE_CE env var — no process-global state)
         self.fused_ce = bool(tcfg.get("fused_ce", True))
+        # training.boundary_gc: free dead per-task executables at each task
+        # boundary (see _run_task) — the capacity knob for footprints within
+        # ~1 GB of the chip's HBM limit
+        self.boundary_gc = bool(tcfg.get("boundary_gc", False))
         self.spatial_partition = int(tcfg.get("spatial_partition", 0) or 0)
         if self.process_count > 1:
             if self.spatial_partition > 1:
@@ -309,6 +313,20 @@ class Trainer:
     def _run_task(self, task_id: int) -> List[Dict[str, float]]:
         dm = self.datamodule
         dm.set_task_id(task_id)
+        if task_id > 0 and self.boundary_gc:
+            # drop the previous task's compiled executables (their device
+            # constants and output buffers pin HBM; every per-task graph is
+            # dead after surgery changes the class slice anyway) before
+            # compiling this task's steps.  Near-OOM footprints (15-1-paper:
+            # RN101 512² buffer-300 + a ~1 GB HBM-resident DeviceCache) OOM
+            # at the first incremental train step without this even though
+            # the step itself fits in isolation (scripts/bench_bacs_step.py
+            # --batch 6 --accum 2 --resident-mb 1024 runs at 269 ms).
+            # Recompiles ride the persistent disk cache (utils/cache.py).
+            import gc
+
+            jax.clear_caches()
+            gc.collect()
         multihost = self.process_count > 1
         if multihost and self.state is not None:
             # boundary passes (surgery/begin_task) run per-process plain

@@ -29,7 +29,8 @@ enable_compilation_cache()
 
 def main(smoke: bool = False, bg_weighted: bool = True, replay: bool = True,
          merged: bool = False, remat=False, buffer_size: int = 50,
-         replay_batch: int = 8, image_uint8: bool = False):
+         replay_batch: int = 8, image_uint8: bool = False,
+         batch_override: int = 0, accum: int = 1, resident_mb: int = 0):
     from bacs_tpu.methods import create_method
     from bacs_tpu.methods.base import ModelContext
     from bacs_tpu.models import create_network
@@ -42,6 +43,14 @@ def main(smoke: bool = False, bg_weighted: bool = True, replay: bool = True,
         crop, batch, backbone, reps, dtype = 64, 2, "resnet18", 3, jnp.float32
     else:
         crop, batch, backbone, reps, dtype = 512, 16, "resnet101", 20, jnp.bfloat16
+    if batch_override:
+        batch = batch_override
+    # --resident-mb: park a uint8 array in HBM emulating the DeviceCache
+    # dataset residency of a protocol run (15-1-paper: 1024 imgs ≈ 1.0 GB)
+    resident = (jnp.zeros((resident_mb, 1024, 1024), jnp.uint8)
+                if resident_mb else None)
+    if resident is not None:
+        resident.block_until_ready()
 
     n_classes, n_tasks = 21, 6
     net = create_network(
@@ -68,6 +77,7 @@ def main(smoke: bool = False, bg_weighted: bool = True, replay: bool = True,
         {"_target_": "torch.optim.SGD", "lr": 0.01, "momentum": 0.9,
          "nesterov": True, "weight_decay": 1e-4},
         poly_schedule(0.01, 1000),
+        accumulate_steps=accum,
     )
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(batch, crop, crop, 3).astype(np.float32))
@@ -160,7 +170,9 @@ def main(smoke: bool = False, bg_weighted: bool = True, replay: bool = True,
                   + ("_u8" if image_uint8 else "")
                   + ("_merged" if merged else "")
                   + ("" if not remat else "_remat" if remat is True
-                     else "_remat" + "-".join(map(str, remat))),
+                     else "_remat" + "-".join(map(str, remat)))
+                  + (f"_acc{accum}" if accum > 1 else "")
+                  + (f"_res{resident_mb}" if resident_mb else ""),
         "step_ms": round(dt * 1e3, 1),
         "images_per_sec": round(batch / dt, 1),
         "evict_add_ms": round(evict_ms, 1),
@@ -191,4 +203,9 @@ if __name__ == "__main__":
         buffer_size=_flag("--buffer", 50),
         replay_batch=_flag("--replay-batch", 8),
         image_uint8="--image-uint8" in sys.argv,
+        # capacity triage for protocol-shaped footprints
+        # (15-1-paper: --batch 6 --accum 2 --resident-mb 1024)
+        batch_override=_flag("--batch", 0),
+        accum=_flag("--accum", 1),
+        resident_mb=_flag("--resident-mb", 0),
     )

@@ -216,3 +216,33 @@ def test_bacs_mixup_path_runs():
     )
     miou = Trainer(cfg).fit()
     assert 0.0 <= miou <= 1.0
+
+def test_continual_bacs_boundary_gc_runs():
+    """training.boundary_gc drops dead per-task executables at each task
+    boundary (loop.py _run_task) — the capacity knob for near-OOM paper
+    footprints.  Must leave the CL state machinery intact: buffer
+    populated, teacher installed, finite params."""
+    cfg = _config(
+        {
+            "_target_": "loss.BACSLoss",
+            "buffer_size": 6,
+            "replay_minibatch_size": 2,
+            "alpha": 0.5,
+            "beta": 0.5,
+        },
+        bg_detector=True,
+        boundary_gc=True,
+    )
+    trainer = Trainer(cfg)
+    miou = trainer.fit()
+    assert 0.0 <= miou <= 1.0
+    assert trainer.boundary_gc
+    import jax
+    import jax.numpy as jnp
+
+    assert not any(
+        bool(jnp.any(jnp.isnan(x)))
+        for x in jax.tree.leaves(trainer.state.params)
+    )
+    assert int(trainer.state.buffer.valid.sum()) > 0
+    assert trainer.state.prev_params is not None
