@@ -327,6 +327,21 @@ class Trainer:
 
             jax.clear_caches()
             gc.collect()
+            # audit what actually pins HBM across the boundary (the axon
+            # backend exposes no memory_stats; live_arrays is client-side)
+            sizes = {}
+            total = 0
+            for a in jax.live_arrays():
+                nb = a.size * a.dtype.itemsize
+                total += nb
+                key = f"{a.dtype.name}{list(a.shape)}"
+                sizes[key] = sizes.get(key, 0) + nb
+            top = sorted(sizes.items(), key=lambda kv: -kv[1])[:8]
+            self.logger.info(
+                f"boundary_gc: {total / 2**30:.2f} GiB live in "
+                f"{len(jax.live_arrays())} arrays; top: "
+                + ", ".join(f"{k}={v / 2**20:.0f}M" for k, v in top)
+            )
         multihost = self.process_count > 1
         if multihost and self.state is not None:
             # boundary passes (surgery/begin_task) run per-process plain
@@ -368,6 +383,13 @@ class Trainer:
                 self.learner_init.__name__ != "transformer_init"
             ) else self.learner_init(self.state, task, self.new_token_init)
             self.state = self.state.replace(opt_state=tx.init(self.state.params))
+        if task_id > 0 and self.boundary_gc:
+            # force an in-order device sync so an async RESOURCE_EXHAUSTED
+            # from the boundary passes surfaces HERE, not at the first train
+            # step's metric fetch (the axon backend swallows the allocation
+            # detail either way — the sync localizes the failing phase)
+            float(jnp.sum(jax.tree.leaves(self.state.params)[-1]))
+            self.logger.info("boundary sync: surgery + opt re-init done")
 
         # needs_prev_model methods get prev set by end_task of previous task.
         # Boundary streams are LOADER-sized (n_devices=1): the passes run as
@@ -379,6 +401,9 @@ class Trainer:
             self.state, boundary_ctx,
             dm.train_batches(epoch=0, n_devices=1),
         )
+        if task_id > 0 and self.boundary_gc:
+            float(self.state.step)  # see surgery sync note above
+            self.logger.info("boundary sync: begin_task done")
 
         if self.spatial_partition > 1 and self.mesh is not None:
             from bacs_tpu.train.step import make_gspmd_steps

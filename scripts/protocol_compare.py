@@ -115,7 +115,7 @@ PROTOCOLS = {
         n_train=1024, n_val=96, layers=4, lr=0.02, lr_next=0.001,
         buffer=300, batch=12, replay=12,
         net="deeplab", backbone="resnet101", style="rich", cache="device",
-        u8_buffer=True, remat=True,
+        u8_buffer=True, remat=True, mixed_precision=True,
         default_methods=("ce", "bacs_plus"),
     ),
     # ADE20K 100-50 composition shape (BASELINE.json config #5;
@@ -179,6 +179,13 @@ def run_method(protocol: dict, method: str, seed: int,
         overrides.append(f"+dataset.dataset.cache_decoded={p['cache']}")
     if p.get("remat"):
         overrides.append("network.remat=true")
+    if p.get("mixed_precision"):
+        # the reference's paper recipe trains under amp
+        # (conf/bacs/training/der_15_1.yaml:14 mixed_precision: true);
+        # the debug tree defaults to f32 — without this the 512² legs run
+        # float32 and blow the v5e HBM budget every capacity number was
+        # measured at (bf16)
+        overrides.append("+training.mixed_precision=true")
     if method in ("bacs", "bacs_plus"):
         plus = method == "bacs_plus"
         overrides += [
@@ -236,6 +243,10 @@ def main():
                     help="override the protocol's epochs/task")
     ap.add_argument("--crop", type=int, default=0,
                     help="override the protocol's crop (deeplab needs /16)")
+    ap.add_argument("--cache", default=None,
+                    choices=("device", "ram", "disk", "none"),
+                    help="override the protocol's dataset decode cache "
+                         "(none = drop the key: per-batch host decode)")
     ap.add_argument("--mode", default=None,
                     choices=("overlap", "disjoint", "sequential"),
                     help="scenario membership mode (default: the config's, "
@@ -252,6 +263,8 @@ def main():
     p = dict(PROTOCOLS[args.protocol])
     if args.epochs:
         p["epochs"] = args.epochs
+    if args.cache:
+        p["cache"] = None if args.cache == "none" else args.cache
     network = args.network or p.get("net", "unet")
     backbone = args.backbone or p.get("backbone", "resnet50")
     methods = (args.methods.split(",") if args.methods
